@@ -1,0 +1,240 @@
+"""Deterministic synthesis of the CDC input: a source-code-repository table
+``(repo, path, commit, lang, content)`` and an insert/update/delete change-event
+log over it.
+
+Shape mandated by BASELINE.json ``input_hint``. The reference's analogue is the
+seeded CSV generator (``csv_generator/generate_benchmark_data.py``, seed 42) and
+the simulated batch-2 change set (``simulate_batch_flow.py:143-171`` — C001
+update, C004 delete, C005 insert); here the whole event log is a deterministic
+pure function of the row index so that
+
+* the same log can be produced by Spark **and** by DuckDB SQL (driver oracle),
+* replay tests can re-derive the expected final state independently,
+* arbitrary scales are generated from ``spark.range`` without materializing
+  anything on the driver (no collect; scales to 10^10 rows as a range scan).
+
+Determinism contract: every derived value uses only integer arithmetic on the
+row index plus ``md5`` (identical semantics in Spark and DuckDB) and text from
+the driver-provided ``documents`` parquet (seed-42, read-only).
+
+Skew (north rule: "explicit skew handling for hot repos"): file→repo assignment
+is intentionally skewed — every 5th file lands in ``repo_0`` (~21% of keys),
+the rest spread over 36 repos. The CDC upsert stage must absorb that.
+
+Event semantics:
+* events are globally ordered by ``seq``; per file, versions arrive in seq order
+  (file f gets events at seq = f, f+n_files, f+2*n_files, ...);
+* ``op``: first version is I; a later version is D when ``(file_id+ver) % 13 == 0``
+  else U. U after D re-inserts (standard CDC upsert semantics);
+* final state = latest event per (repo, path) by seq, dropped if it is a D.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ScaleParams:
+    n_docs: int
+    n_files: int
+    n_events: int
+
+
+def scale_params(n_docs: int, files_per_doc: int = 4, versions: int = 3) -> ScaleParams:
+    """Default scale: 4 files per document row, ~3 versions per file."""
+    n_files = max(1, n_docs * files_per_doc)
+    return ScaleParams(n_docs=n_docs, n_files=n_files, n_events=n_files * versions)
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+
+
+def cdc_events(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int | None = None,
+    n_events: int | None = None,
+) -> DataFrame:
+    """The change-event log: ``(seq, op, repo, path, commit, lang, content,
+    event_ts)``, deterministic, ordered by ``seq``.
+
+    Built from ``spark.range`` (a parallel, partition-local generator — no
+    driver materialization) joined to ``documents`` for realistic text. The
+    join is broadcast (documents is the small dimension at every sf).
+    """
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    p = scale_params(n_docs)
+    nf = n_files or p.n_files
+    ne = n_events or p.n_events
+
+    ev = spark.range(ne).select(
+        F.col("id").alias("seq"),
+        (F.col("id") % nf).alias("file_id"),
+        (F.col("id") / nf).cast("long").alias("ver"),
+    )
+    ev = ev.withColumn("doc_id", F.col("file_id") % n_docs)
+    ev = ev.join(F.broadcast(docs), on="doc_id", how="inner")
+    repo_num = F.when(F.col("file_id") % 5 == 0, F.lit(0)).otherwise(
+        F.col("file_id") % 37
+    )
+    op = (
+        F.when(F.col("ver") == 0, F.lit("I"))
+        .when((F.col("file_id") + F.col("ver")) % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    return ev.select(
+        "seq",
+        op.alias("op"),
+        F.concat(F.lit("repo_"), repo_num.cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/d"),
+            (F.col("file_id") % 97).cast("string"),
+            F.lit("/f_"),
+            F.col("file_id").cast("string"),
+            F.lit("."),
+            F.col("lang"),
+        ).alias("path"),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("c"),
+                    F.col("file_id").cast("string"),
+                    F.lit("-"),
+                    F.col("ver").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ).alias("commit"),
+        F.col("lang"),
+        F.concat(F.col("text"), F.lit(" v"), F.col("ver").cast("string")).alias(
+            "content"
+        ),
+        F.timestamp_add(
+            "SECOND", F.col("seq"), F.lit("2024-01-01 00:00:00").cast("timestamp")
+        ).alias("event_ts"),
+    )
+
+
+def repo_files(
+    spark: SparkSession, sf_dir: str, n_files: int | None = None
+) -> DataFrame:
+    """The initial ``repo_files`` snapshot: version-0 insert of every file —
+    exactly the rows of the event log with ``ver = 0``."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    nf = n_files or scale_params(n_docs).n_files
+    return cdc_events(spark, sf_dir, n_files=nf, n_events=nf).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+
+
+def expected_final_state(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int | None = None,
+    n_events: int | None = None,
+) -> DataFrame:
+    """Oracle final state: latest event per (repo, path), minus deletes.
+    This is what replay-to-convergence must produce regardless of batch
+    partitioning, duplication, or intra-batch shuffling."""
+    from pyspark.sql import Window
+
+    ev = cdc_events(spark, sf_dir, n_files, n_events)
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("repo", "path", "commit", "lang", "content")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB side (driver oracle / independent verification)
+# ---------------------------------------------------------------------------
+
+
+def cdc_events_sql(n_files: int | None = None, n_events: int | None = None) -> str:
+    """DuckDB SQL producing the byte-identical event log (documents is a
+    pre-registered view in the driver's oracle harness).
+
+    With no arguments the log is **scale-free**: the default scale
+    (4 files/doc × 3 versions) is derived from ``count(documents)`` inside
+    the SQL itself, matching :func:`cdc_events`'s defaults at any sf.
+    DuckDB's ``range()`` only takes constants, so the index space
+    0..12·n_docs-1 is generated as the bijection ``v·n_docs + doc_id`` over
+    ``documents × range(0,12)``."""
+    if n_files is None:
+        idx = """
+base AS (
+  SELECT (t.v * nd.n + d.doc_id) AS seq,
+         ((t.v * nd.n + d.doc_id) % (4 * nd.n)) AS file_id,
+         ((t.v * nd.n + d.doc_id) // (4 * nd.n)) AS ver
+  FROM documents d CROSS JOIN range(0, 12) t(v) CROSS JOIN nd
+),"""
+    else:
+        idx = f"""
+base AS (
+  SELECT t.i AS seq,
+         (t.i % {n_files}) AS file_id,
+         (t.i // {n_files}) AS ver
+  FROM range(0, {n_events}) t(i)
+),"""
+    return f"""
+WITH nd AS (SELECT count(*) AS n FROM documents),{idx}
+ev AS (
+  SELECT b.seq, b.file_id, b.ver, d.lang, d.text
+  FROM base b CROSS JOIN nd
+  JOIN documents d ON d.doc_id = b.file_id % nd.n
+)
+SELECT
+  seq,
+  CASE WHEN ver = 0 THEN 'I'
+       WHEN (file_id + ver) % 13 = 0 THEN 'D'
+       ELSE 'U' END AS op,
+  'repo_' || CAST(CASE WHEN file_id % 5 = 0 THEN 0 ELSE file_id % 37 END AS VARCHAR) AS repo,
+  'src/d' || CAST(file_id % 97 AS VARCHAR) || '/f_' || CAST(file_id AS VARCHAR)
+      || '.' || lang AS path,
+  substr(md5('c' || CAST(file_id AS VARCHAR) || '-' || CAST(ver AS VARCHAR)), 1, 12)
+      AS "commit",
+  lang,
+  text || ' v' || CAST(ver AS VARCHAR) AS content,
+  TIMESTAMP '2024-01-01 00:00:00' + seq * INTERVAL 1 SECOND AS event_ts
+FROM ev
+"""
+
+
+def repo_files_sql(n_files: int | None = None) -> str:
+    """Version-0 snapshot (scale-free when n_files is None)."""
+    inner = cdc_events_sql(n_files, n_files)
+    return f"""
+SELECT repo, path, "commit", lang, content
+FROM ({inner}) e
+{"WHERE e.seq < (SELECT 4 * count(*) FROM documents)" if n_files is None else ""}
+"""
+
+
+def expected_final_state_sql(
+    n_files: int | None = None, n_events: int | None = None
+) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM ({cdc_events_sql(n_files, n_events)}) e
+)
+SELECT repo, path, "commit", lang, content
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
