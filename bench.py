@@ -1,0 +1,105 @@
+"""Benchmark harness: CDC replay throughput + headline corpus queries.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "events_per_sec": ...}``
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BENCH_EVENT_MULT     multiply the default event-log size (default 1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_pipeline_rdf_star_spark.data import synth  # noqa: E402
+from etl_pipeline_rdf_star_spark.queries import QUERIES  # noqa: E402
+from etl_pipeline_rdf_star_spark.session import get_spark  # noqa: E402
+from etl_pipeline_rdf_star_spark.streaming.cdc import CdcEngine  # noqa: E402
+
+HEADLINE = [
+    "rdf_asserted_triples",
+    "rdf_star_annotations",
+    "triples_per_predicate",
+    "files_per_repo",
+    "as_of_state",
+    "modified_files",
+    "commit_history",
+    "pricing_summary",
+    "shipping_priority",
+    "doc_token_stats",
+    "doc_exact_dedup",
+    "embedding_knn",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("BENCH_EVENT_MULT", "1"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/session so per-query numbers measure the queries
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+
+    # -- CDC replay (the north-star metric) --------------------------------
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    p = synth.scale_params(n_docs)
+    n_files, n_events = p.n_files * mult, p.n_events * mult
+    events = synth.cdc_events(spark, sf_dir, n_files=n_files, n_events=n_events)
+    events = events.repartition(max(cpus, 16)).cache()
+    n_ev = events.count()  # materialize cache outside the timed window
+
+    wh = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        eng = CdcEngine(spark, wh, n_buckets=max(cpus, 16))
+        t0 = time.perf_counter()
+        eng.replay(events, num_batches=4, id_prefix="bench")
+        replay_s = time.perf_counter() - t0
+        timings["cdc_replay"] = round(replay_s, 3)
+        events_per_sec = n_ev / replay_s
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    events.unpersist()
+
+    # -- corpus queries ----------------------------------------------------
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_plus_corpus_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "events_per_sec": round(events_per_sec, 1),
+                "n_events": n_ev,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

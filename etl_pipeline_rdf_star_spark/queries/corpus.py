@@ -1,0 +1,597 @@
+"""Named query corpus — the serving layer of the engine.
+
+Replaces the reference's SPARQL endpoint + Postman corpus
+(fastapi_sparql_server.py:242-351, sparql/batch_queries.rq,
+tests/test_postman_queries.py:97-774) with named DataFrame builders over the
+CDC-materialized RDF-star relations plus the driver's TPC-H-ish tables.
+
+Every entry is a pair:
+* a Spark builder ``(spark, sf_dir) -> DataFrame`` — idiomatic DataFrame ops,
+  no per-row Python;
+* a DuckDB oracle SQL string over the same parquet views (or ``None`` for
+  ops whose semantics aren't ANSI-SQL-expressible — the driver then records
+  a rows-only check).
+
+Column names are aliased identically on both sides (the driver hash-compares
+values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import synth
+from ..mapping.flagship import flagship_ir, prepare_input
+from ..operators.materialize import materialize_document
+
+SEP = "\x1f"  # chr(31) — unit separator used in reifier fingerprints
+
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+
+def _final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth.expected_final_state(spark, sf_dir)
+
+
+_FINAL_SQL = f"({synth.expected_final_state_sql()})"
+_EVENTS_SQL = f"({synth.cdc_events_sql()})"
+
+# DuckDB mirror of compiler.sanitize_for_iri (P2)
+_SAN = "regexp_replace({c}, '[^a-zA-Z0-9_.-]', '_', 'g')"
+
+
+def _san(c: str) -> str:
+    return _SAN.format(c=c)
+
+
+def _materialized(spark: SparkSession, sf_dir: str):
+    state = _final_state(spark, sf_dir)
+    ir = flagship_ir()
+    sources = {tm: prepare_input(state) for tm in ir.triples_maps}
+    return materialize_document(sources, ir)
+
+
+# SQL fragments of the flagship mapping, hand-derived (this duplication is
+# the point: an *independent* oracle for the compiled Catalyst expressions)
+_SUBJ = f"'http://example.org/file/' || {_san('repo')} || '/' || {_san('path')}"
+_ASSERTED_SQL = f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f)
+SELECT {_SUBJ} AS subject,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+       'http://example.org/SourceFile' AS object,
+       CAST(NULL AS VARCHAR) AS object_datatype
+FROM final
+UNION ALL
+SELECT {_SUBJ}, 'http://purl.org/dc/terms/identifier', path, NULL FROM final
+UNION ALL
+SELECT {_SUBJ}, 'http://example.org/repo',
+       'http://example.org/repo/' || {_san('repo')}, NULL FROM final
+UNION ALL
+SELECT {_SUBJ}, 'http://example.org/commit', "commit",
+       'http://www.w3.org/2001/XMLSchema#string' FROM final
+UNION ALL
+SELECT {_SUBJ}, 'http://example.org/contentSha256', sha256(content),
+       'http://www.w3.org/2001/XMLSchema#string' FROM final
+UNION ALL
+SELECT {_SUBJ}, 'http://example.org/lang', lang, NULL FROM final
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-per-key dedup → live rows (the streaming convergence
+    target; §2.5 CDC dedup window)."""
+    return _final_state(spark, sf_dir)
+
+
+def q_rdf_asserted_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship mapping asserted triples over the CDC final state (P1-P5)."""
+    triples, _ = _materialized(spark, sf_dir)
+    return triples.select("subject", "predicate", "object", "object_datatype")
+
+
+def q_rdf_star_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-triple provenance annotations (J1) with deterministic
+    reifiers — flattened for comparison."""
+    _, anns = _materialized(spark, sf_dir)
+    return anns.select(
+        "reifier",
+        F.col("quoted.s").alias("q_s"),
+        F.col("quoted.p").alias("q_p"),
+        F.col("quoted.o").alias("q_o"),
+        "predicate",
+        "object",
+    )
+
+
+_ANNOT_SQL = f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f),
+base AS (
+  SELECT {_SUBJ} AS q_s,
+         'http://example.org/lang' AS q_p,
+         lang AS q_o,
+         repo || chr(31) || path AS file_key,
+         CAST(CAST(round((length(content) % 100) / 100.0, 2) AS DECIMAL(5,2)) AS VARCHAR)
+           AS conf_str,
+         "commit", lang, content
+  FROM final
+),
+r AS (
+  -- reifier = 'b' ‖ sha256(quoted ‖ row-fingerprint); the row fingerprint
+  -- hashes exactly the columns the annotation map references, in mapping
+  -- order (commit, confidence, lang) plus the join key — mirrors
+  -- operators.materialize._row_fingerprint
+  SELECT 'b' || sha256(q_s || chr(31) || q_p || chr(31) || q_o || chr(31) ||
+           sha256("commit" || chr(31) || conf_str || chr(31) || lang
+                  || chr(31) || file_key))
+           AS reifier,
+         q_s, q_p, q_o, "commit", lang, content
+  FROM base
+)
+SELECT reifier, q_s, q_p, q_o,
+       'http://www.w3.org/ns/prov#wasDerivedFrom' AS predicate,
+       'http://example.org/commit/' || "commit" AS object FROM r
+UNION ALL
+SELECT reifier, q_s, q_p, q_o, 'http://www.w3.org/ns/prov#wasGeneratedBy',
+       'http://example.org/activity/cdc_ingest' FROM r
+UNION ALL
+SELECT reifier, q_s, q_p, q_o, 'http://example.org/confidence',
+       CAST(CAST(round((length(content) % 100) / 100.0, 2) AS DECIMAL(5,2)) AS VARCHAR)
+FROM r
+UNION ALL
+SELECT reifier, q_s, q_p, q_o, 'http://example.org/lang', lang FROM r
+"""
+
+
+def q_triples_per_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY predicate COUNT (A3; sparql/batch_queries.rq:599-609)."""
+    triples, _ = _materialized(spark, sf_dir)
+    return triples.groupBy("predicate").agg(F.count("*").alias("n_triples"))
+
+
+def q_files_per_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo census — exposes the hot-repo skew (A3/A7)."""
+    return (
+        _final_state(spark, sf_dir)
+        .groupBy("repo")
+        .agg(F.count("*").alias("n_files"), F.countDistinct("lang").alias("n_langs"))
+    )
+
+
+def q_lang_confidence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG/MIN/MAX per group (A4; tests/test_postman_queries.py:336-344)."""
+    prepared = prepare_input(_final_state(spark, sf_dir))
+    return prepared.groupBy("lang").agg(
+        F.round(F.avg(F.col("confidence").cast("double")), 4).alias("avg_conf"),
+        F.min("confidence").alias("min_conf"),
+        F.max("confidence").alias("max_conf"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_change_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (A5; diff summary
+    sparql/batch_queries.rq:430-450) over the raw event log."""
+    ev = synth.cdc_events(spark, sf_dir)
+    return ev.groupBy("repo").agg(
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_insert"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_update"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
+    )
+
+
+def q_commit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-change detection via lag window (J8 as a window —
+    sparql/batch_queries.rq:506-529; SURVEY §2.5)."""
+    ev = synth.cdc_events(spark, sf_dir)
+    w = Window.partitionBy("repo", "path").orderBy("seq")
+    return (
+        ev.withColumn("prev_commit", F.lag("commit").over(w))
+        .withColumn(
+            "change_type",
+            F.when(F.col("prev_commit").isNull(), "added")
+            .when(F.col("op") == "D", "removed")
+            .when(F.col("prev_commit") != F.col("commit"), "changed")
+            .otherwise("unchanged"),
+        )
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_as_of_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) state at 60% of the log (J5 —
+    FIND_BATCH_AT_TIME, sparql/batch_queries.rq:230-248)."""
+    ev = synth.cdc_events(spark, sf_dir)
+    hi = ev.agg(F.max("seq")).collect()[0][0]
+    cut = int(hi * 0.6)
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    return (
+        ev.where(F.col("seq") <= cut)
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("repo", "path", "commit", "lang")
+    )
+
+
+def _state_at_sql(frac: str) -> str:
+    return f"""
+WITH ev AS (SELECT * FROM {_EVENTS_SQL} e),
+cut AS (SELECT CAST(floor(max(seq) * {frac}) AS BIGINT) AS c FROM ev),
+ranked AS (
+  SELECT ev.*, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM ev CROSS JOIN cut WHERE ev.seq <= cut.c
+)
+SELECT repo, path, "commit", lang FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_diff_added_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join batch diff: keys live at end but not at 60% (J6 —
+    sparql/batch_queries.rq:369-404; batch_manager.py:460-480)."""
+    now = _final_state(spark, sf_dir).select("repo", "path")
+    then = q_as_of_state(spark, sf_dir).select("repo", "path")
+    return now.join(then, ["repo", "path"], "left_anti")
+
+
+def q_modified_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join + value inequality: keys live at both points whose commit
+    changed (J7 — sparql/batch_queries.rq:453-478)."""
+    now = _final_state(spark, sf_dir).select(
+        "repo", "path", F.col("commit").alias("new_commit")
+    )
+    then = q_as_of_state(spark, sf_dir).select(
+        "repo", "path", F.col("commit").alias("old_commit")
+    )
+    return now.join(then, ["repo", "path"]).where(
+        F.col("new_commit") != F.col("old_commit")
+    )
+
+
+def q_polyglot_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta self-join (J9 shape — cross-system comparison
+    tests/test_postman_queries.py:578-597): distinct ordered lang pairs
+    coexisting in a repo."""
+    s = _final_state(spark, sf_dir).select("repo", "lang").distinct()
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, on="repo")
+        .where(F.col("a.lang") < F.col("b.lang"))
+        .select("repo", F.col("a.lang").alias("lang1"), F.col("b.lang").alias("lang2"))
+    )
+
+
+def q_top_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT top-k (§2.6 — TakeOrderedAndProject)."""
+    return (
+        _final_state(spark, sf_dir)
+        .groupBy("repo")
+        .agg(F.count("*").alias("n_files"))
+        .orderBy(F.desc("n_files"), F.asc("repo"))
+        .limit(10)
+    )
+
+
+def q_deleted_then_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (§2.7): keys that saw a delete event yet are live at the end
+    (re-inserted after tombstone)."""
+    ev = synth.cdc_events(spark, sf_dir)
+    deleted = ev.where(F.col("op") == "D").select("repo", "path").distinct()
+    live = _final_state(spark, sf_dir).select("repo", "path")
+    return deleted.intersect(live)
+
+
+# -- TPC-H-ish operator demonstrations --------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter + hash agg (partial+final)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (broadcast dim) + agg + top-k."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("o_orderstatus") == "O")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# -- training-data pipeline ops over documents ------------------------------
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: representative doc per
+    distinct text + duplicate count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("h", F.sha2(F.col("text"), 256))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("rep_doc"), F.count("*").alias("n_dups"))
+        .select("rep_doc", "n_dups")
+    )
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenization) + char stats per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias(
+            "n_distinct_tokens"
+        ),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: mean word length + type-token ratio, bucketed."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.round(F.length("text") / F.size(toks), 4).alias("mean_tok_len"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        F.when(ttr > 0.5, "high").when(ttr > 0.3, "mid").otherwise("low").alias(
+            "quality_bucket"
+        ),
+    )
+
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors —
+    ANN baseline. Distances computed with built-in higher-order functions
+    (zip_with/aggregate — JVM-side, no Python UDF); result reduced to
+    integer ranks so float formatting can't affect the comparison."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    joined = q.join(emb.where(F.col("vec_id") >= 10), how="cross")
+    dot = F.aggregate(
+        F.zip_with("qv", "embedding", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    cos = F.round(dot / (norm(F.col("qv")) * norm(F.col("embedding"))), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class QueryEntry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+
+
+QUERIES: dict[str, QueryEntry] = {
+    "cdc_final_state": QueryEntry(
+        q_cdc_final_state, synth.expected_final_state_sql()
+    ),
+    "rdf_asserted_triples": QueryEntry(q_rdf_asserted_triples, _ASSERTED_SQL),
+    "rdf_star_annotations": QueryEntry(q_rdf_star_annotations, _ANNOT_SQL),
+    "triples_per_predicate": QueryEntry(
+        q_triples_per_predicate,
+        f"SELECT predicate, count(*) AS n_triples FROM ({_ASSERTED_SQL}) t"
+        " GROUP BY predicate",
+    ),
+    "files_per_repo": QueryEntry(
+        q_files_per_repo,
+        f"SELECT repo, count(*) AS n_files, count(DISTINCT lang) AS n_langs"
+        f" FROM {_FINAL_SQL} f GROUP BY repo",
+    ),
+    "lang_confidence_stats": QueryEntry(
+        q_lang_confidence_stats,
+        f"""
+WITH p AS (
+  SELECT lang,
+         CAST(round((length(content) % 100) / 100.0, 2) AS DECIMAL(5,2)) AS confidence
+  FROM {_FINAL_SQL} f
+)
+SELECT lang, round(avg(CAST(confidence AS DOUBLE)), 4) AS avg_conf,
+       min(confidence) AS min_conf, max(confidence) AS max_conf,
+       count(*) AS n
+FROM p GROUP BY lang""",
+    ),
+    "change_type_summary": QueryEntry(
+        q_change_type_summary,
+        f"""
+SELECT repo,
+       sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_insert,
+       sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_update,
+       sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_delete
+FROM {_EVENTS_SQL} e GROUP BY repo""",
+    ),
+    "commit_history": QueryEntry(
+        q_commit_history,
+        f"""
+WITH h AS (
+  SELECT op, "commit",
+         lag("commit") OVER (PARTITION BY repo, path ORDER BY seq) AS prev_commit
+  FROM {_EVENTS_SQL} e
+)
+SELECT CASE WHEN prev_commit IS NULL THEN 'added'
+            WHEN op = 'D' THEN 'removed'
+            WHEN prev_commit <> "commit" THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       count(*) AS n
+FROM h GROUP BY 1""",
+    ),
+    "as_of_state": QueryEntry(q_as_of_state, _state_at_sql("0.6")),
+    "diff_added_files": QueryEntry(
+        q_diff_added_files,
+        f"""
+SELECT f.repo, f.path FROM {_FINAL_SQL} f
+WHERE NOT EXISTS (
+  SELECT 1 FROM ({_state_at_sql("0.6")}) t
+  WHERE t.repo = f.repo AND t.path = f.path)""",
+    ),
+    "modified_files": QueryEntry(
+        q_modified_files,
+        f"""
+SELECT f.repo, f.path, f."commit" AS new_commit, t."commit" AS old_commit
+FROM {_FINAL_SQL} f
+JOIN ({_state_at_sql("0.6")}) t ON t.repo = f.repo AND t.path = f.path
+WHERE f."commit" <> t."commit" """,
+    ),
+    "polyglot_repos": QueryEntry(
+        q_polyglot_repos,
+        f"""
+WITH s AS (SELECT DISTINCT repo, lang FROM {_FINAL_SQL} f)
+SELECT a.repo, a.lang AS lang1, b.lang AS lang2
+FROM s a JOIN s b ON a.repo = b.repo AND a.lang < b.lang""",
+    ),
+    "top_repos": QueryEntry(
+        q_top_repos,
+        f"""
+SELECT repo, count(*) AS n_files FROM {_FINAL_SQL} f
+GROUP BY repo ORDER BY n_files DESC, repo ASC LIMIT 10""",
+    ),
+    "deleted_then_live": QueryEntry(
+        q_deleted_then_live,
+        f"""
+SELECT DISTINCT e.repo, e.path FROM {_EVENTS_SQL} e
+WHERE e.op = 'D'
+  AND EXISTS (SELECT 1 FROM {_FINAL_SQL} f
+              WHERE f.repo = e.repo AND f.path = e.path)""",
+    ),
+    "pricing_summary": QueryEntry(
+        q_pricing_summary,
+        """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+    ),
+    "shipping_priority": QueryEntry(
+        q_shipping_priority,
+        """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    ),
+    "doc_exact_dedup": QueryEntry(
+        q_doc_exact_dedup,
+        """
+SELECT min(doc_id) AS rep_doc, count(*) AS n_dups
+FROM documents GROUP BY sha256(text)""",
+    ),
+    "doc_token_stats": QueryEntry(
+        q_doc_token_stats,
+        """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_measured,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+FROM documents""",
+    ),
+    "doc_quality": QueryEntry(
+        q_doc_quality,
+        """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_dist
+  FROM documents
+)
+SELECT doc_id,
+       round(n_chars / n_tok, 4) AS mean_tok_len,
+       round(CAST(n_dist AS DOUBLE) / n_tok, 4) AS type_token_ratio,
+       CASE WHEN CAST(n_dist AS DOUBLE) / n_tok > 0.5 THEN 'high'
+            WHEN CAST(n_dist AS DOUBLE) / n_tok > 0.3 THEN 'mid'
+            ELSE 'low' END AS quality_bucket
+FROM t""",
+    ),
+    "embedding_knn": QueryEntry(
+        q_embedding_knn,
+        """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT e.vec_id, e.embedding FROM embeddings e WHERE e.vec_id >= 10),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos
+  FROM q CROSS JOIN c
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id AS neighbor_id FROM r WHERE rank <= 5""",
+    ),
+}
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.fn for name, e in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: e.sql for name, e in QUERIES.items() if e.sql is not None}

@@ -303,6 +303,66 @@ class LakeTable:
             rewritten_buckets=len(affected),
         )
 
+    def append_rows(
+        self, rows: list[dict[str, Any]], schema: StructType, batch_id: str
+    ) -> MergeStats:
+        """Driver-side fast append for small metadata commits (ledger /
+        metrics rows — a handful per micro-batch). Writes parquet via
+        pyarrow directly: no Spark job, ~ms instead of ~0.5 s of job
+        scheduling. Data-plane writes still go through Spark; this path is
+        only for metadata whose size is O(buckets) per batch by design."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self.exists():
+            snap = self.snapshot()
+            if batch_id in snap.committed_batches:
+                return MergeStats(batch_id=batch_id, skipped=True, version=snap.version)
+            version = snap.version + 1
+            schema_json = snap.schema_json
+            prev_files, prev_batches = snap.files, snap.committed_batches
+        else:
+            version = 0
+            if "_bucket" not in [f.name for f in schema.fields]:
+                from pyspark.sql.types import IntegerType, StructField
+
+                schema = StructType(
+                    list(schema.fields) + [StructField("_bucket", IntegerType())]
+                )
+            schema_json = json.dumps(schema.jsonValue())
+            prev_files, prev_batches = [], []
+
+        _PA = {
+            "string": pa.string(),
+            "long": pa.int64(),
+            "integer": pa.int32(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+        }
+        fields = StructType.fromJson(json.loads(schema_json)).fields
+        arrow_schema = pa.schema(
+            [(f.name, _PA[f.dataType.typeName()]) for f in fields]
+        )
+        cols = {
+            f.name: [r.get(f.name, 0 if f.name == "_bucket" else None) for r in rows]
+            for f in fields
+        }
+        out_dir = os.path.join(self.path, _DATA_DIR, f"c{version:08d}", "_bp=0")
+        os.makedirs(out_dir, exist_ok=True)
+        fp = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.table(cols, schema=arrow_schema), fp)
+        snap_out = Snapshot(
+            version=version,
+            operation="append",
+            files=prev_files + [{"path": fp, "bucket": 0, "rows": len(rows)}],
+            schema_json=schema_json,
+            committed_batches=prev_batches + [batch_id],
+            summary={"batch_id": batch_id},
+            timestamp=time.time(),
+        )
+        self._commit(snap_out)
+        return MergeStats(batch_id=batch_id, skipped=False, version=version)
+
     def append(self, df: DataFrame, batch_id: str) -> MergeStats:
         """Append-only commit (ledgers/metrics). Idempotent per batch_id."""
         if not self.exists():

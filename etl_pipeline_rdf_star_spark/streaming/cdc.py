@@ -95,12 +95,13 @@ def wide_columns(
             F.lit(qp.predicate).alias("p"),
             qp.obj.cast("string").alias("o"),
         )
+        from ..operators.materialize import _row_fingerprint
+
+        rowfp = _row_fingerprint(ir, annotation_tm)
         reifier = F.concat(
             F.lit("b"),
             F.sha2(
-                F.concat_ws(
-                    _SEP, quoted["s"], quoted["p"], quoted["o"], F.col(qj.child_key)
-                ),
+                F.concat_ws(_SEP, quoted["s"], quoted["p"], quoted["o"], rowfp),
                 256,
             ),
         )
@@ -242,8 +243,11 @@ class CdcEngine:
         if missing:
             raise ValueError(f"event batch missing columns: {missing}")
         latest = self.dedup_latest(events)  # extra source cols pass through
-        wide = self.materialize_wide(latest)
-        counts = latest.groupBy().agg(
+        # cache the materialized batch: it feeds the count, the MERGE (bucket
+        # discovery + survivors + write) and the metrics rollup — without the
+        # cache each of those jobs re-scans + re-windows the source events
+        wide = self.materialize_wide(latest).persist()
+        counts = wide.groupBy().agg(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
         ).collect()[0]
@@ -257,33 +261,68 @@ class CdcEngine:
         # event-time watermark guarantees no older event can still arrive.
         stats = self.table.merge(wide.drop("op"), batch_id, order_col="seq")
 
-        snap = self.table.snapshot()
-        ledger_row = self.spark.createDataFrame(
-            [
-                (
-                    batch_id,
-                    snap.version,
-                    n_latest,
-                    int(n_latest - n_del),
-                    int(n_del),
-                    bool(stats.skipped),
-                    "ACTIVE",
-                )
-            ],
-            "batch_id string, table_version long, events long, upserts long, "
-            "deletes long, skipped boolean, status string",
+        from pyspark.sql.types import (
+            BooleanType,
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
         )
-        self.batches.append(ledger_row, batch_id)
+
+        snap = self.table.snapshot()
+        ledger_schema = StructType(
+            [
+                StructField("batch_id", StringType()),
+                StructField("table_version", LongType()),
+                StructField("events", LongType()),
+                StructField("upserts", LongType()),
+                StructField("deletes", LongType()),
+                StructField("skipped", BooleanType()),
+                StructField("status", StringType()),
+            ]
+        )
+        self.batches.append_rows(
+            [
+                {
+                    "batch_id": batch_id,
+                    "table_version": snap.version,
+                    "events": int(n_latest),
+                    "upserts": int(n_latest - n_del),
+                    "deletes": int(n_del),
+                    "skipped": bool(stats.skipped),
+                    "status": "ACTIVE",
+                }
+            ],
+            ledger_schema,
+            batch_id,
+        )
         if not stats.skipped:
+            # per-partition lineage: O(n_buckets) rows — collect is bounded
             per_bucket = (
                 wide.withColumn(
                     "bucket", F.pmod(F.xxhash64(*KEY), self.table.n_buckets)
                 )
                 .groupBy("bucket")
                 .agg(F.count("*").alias("rows"))
-                .withColumn("batch_id", F.lit(batch_id))
+                .collect()
             )
-            self.metrics.append(per_bucket.select("batch_id", "bucket", "rows"), batch_id)
+            metrics_schema = StructType(
+                [
+                    StructField("batch_id", StringType()),
+                    StructField("bucket", IntegerType()),
+                    StructField("rows", LongType()),
+                ]
+            )
+            self.metrics.append_rows(
+                [
+                    {"batch_id": batch_id, "bucket": int(r["bucket"]), "rows": r["rows"]}
+                    for r in per_bucket
+                ],
+                metrics_schema,
+                batch_id,
+            )
+        wide.unpersist()
         return BatchResult(
             batch_id=batch_id,
             events=n_latest,
