@@ -66,6 +66,7 @@ def cdc_events(
     sf_dir: str,
     n_files: int | None = None,
     n_events: int | None = None,
+    content_repeat: int = 1,
 ) -> DataFrame:
     """The change-event log: ``(seq, op, repo, path, commit, lang, content,
     event_ts)``, deterministic, ordered by ``seq``.
@@ -120,9 +121,16 @@ def cdc_events(
             12,
         ).alias("commit"),
         F.col("lang"),
-        F.concat(F.col("text"), F.lit(" v"), F.col("ver").cast("string")).alias(
-            "content"
-        ),
+        F.concat(
+            # content_repeat > 1 scales payload size toward realistic
+            # source-file sizes (KBs) for throughput benchmarks; the
+            # derivation stays deterministic and SQL-mirrorable
+            F.col("text")
+            if content_repeat <= 1
+            else F.repeat(F.concat(F.col("text"), F.lit(" ")), content_repeat),
+            F.lit(" v"),
+            F.col("ver").cast("string"),
+        ).alias("content"),
         F.timestamp_add(
             "SECOND", F.col("seq"), F.lit("2024-01-01 00:00:00").cast("timestamp")
         ).alias("event_ts"),

@@ -1,0 +1,265 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup. (Driver brief: first-class training-data ops.)
+
+Scale design
+------------
+* Exact dedup: hash-groupBy — one shuffle on the content hash.
+* MinHash+LSH: shingle → m portable minhashes (md5-ordered — identical in
+  DuckDB, so the oracle can replay it) → b bands → band-bucket join.
+  Candidate generation never compares all pairs: cost is O(docs × m) +
+  the bucket self-join (only colliding docs meet).
+* SimHash: 64-bit sign-aggregated token hashes; near-dups = small Hamming
+  distance. Bit-budget expressions, one shuffle (groupBy doc).
+* n-gram Jaccard: exact verification on candidate pairs (explode + join on
+  shingle, count intersections). Used standalone for small n or as the
+  verify stage after LSH.
+* Embedding cosine: exact threshold pairs via block-nested join for the
+  oracle path; at scale use functions.similarity (LSH-bucketed ANN).
+
+No Python executes per row anywhere — every hash is a Catalyst expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Representative (min id) per distinct content hash + dup count."""
+    return (
+        df.withColumn("h", F.sha2(F.col(text_col), 256))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("rep_doc"), F.count("*").alias("n_dups"))
+        .select("rep_doc", "n_dups")
+    )
+
+
+def _shingles(text_col: str, k: int) -> F.Column:
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """m portable minhashes per doc: h_i(doc) = min over shingles of
+    md5(i ‖ shingle) (md5 hex order is a uniform permutation — and exists
+    bit-identically in DuckDB, unlike xxhash64)."""
+    sh = _shingles(text_col, k)
+
+    def _mh(i: int) -> F.Column:
+        # NB: the hash-fn index must be captured by closure — a two-arg
+        # lambda in F.transform would be interpreted as (element, index)
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh{i}")
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), *[_mh(i) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: docs sharing any band bucket.
+    Returns (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    m = bands * rows_per_band
+    sigs = minhash_signatures(df, text_col, id_col, k, m)
+    band_cols = [
+        F.sha2(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ),
+            256,
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Without ``candidates``: inverted-index self-join on shingles (cost =
+    sum over shingles of df². With ``candidates`` (e.g. LSH output): verify
+    only those pairs."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(text_col, k)).alias("sh"),
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens. Bit i of the signature is the
+    sign of sum over tokens of ±1 according to bit i of md5(token) —
+    computed as 64 aggregate expressions in ONE groupBy (single shuffle).
+
+    md5 (not xxhash64) keeps it DuckDB-replayable; we take bits from the
+    first 16 hex chars (64 bits)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).withColumn("h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long"))
+    # 60 usable bits from 15 hex chars (conv of 16 chars can overflow long)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(60)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(60):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(2 ** i)
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using the
+    pigeonhole block trick: split the 60-bit signature into ``blocks``
+    15-bit chunks; any pair within distance < blocks must share ≥1 exact
+    chunk — join on chunks, then verify distance (bit_count of xor)."""
+    sig = simhash64(df, text_col, id_col)
+    width = 60 // blocks
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("blk"),
+                        F.shiftright(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for bi in range(blocks)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.blk", "e.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, on=["blk", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine-similarity near-dup pairs ≥ threshold (the oracle-able
+    baseline; the LSH-bucketed scale path lives in functions.similarity)."""
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    e = e.withColumn("n", norm)
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (F.col("a.n") * F.col("b.n")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,154 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two tiers (driver brief):
+* ``brute_force_topk`` — exact cosine top-k, the correctness baseline.
+  O(|queries| × |corpus|); fine for verification, a bench yardstick, and
+  small corpora.
+* ``lsh_topk`` — random-hyperplane LSH: each vector maps to a ``n_planes``-
+  bit signature; candidates = corpus vectors sharing a signature bucket in
+  at least one of ``n_tables`` independent tables; exact cosine rerank only
+  on candidates. At 10^9 vectors the bucket join replaces the cross join —
+  per-query cost drops from O(N) to O(bucket).
+
+Hyperplanes are derived deterministically from md5 of (table, plane, dim) —
+no RNG, reproducible across runs and engines. All math is higher-order
+column functions (zip_with/aggregate/transform) — JVM-side, no Python UDF.
+
+An IVF variant (k-means coarse quantizer) is the classic alternative;
+LSH is chosen here because it needs no training pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str) -> F.Column:
+    return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def _norm(c) -> F.Column:
+    return F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, neighbor_id, cos)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    j = q.join(c, how="cross").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane component per dim:
+    md5(t|p|d) → [-0.5, 0.5). Only the sign of the dot product matters, so
+    no normalization is needed."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{table}|{plane}|{d}".encode()).hexdigest()
+        out.append(int(h[:8], 16) / 2**32 - 0.5)
+    return out
+
+
+def lsh_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, table, sig) — one row per hash table; sig is the n_planes-bit
+    sign pattern of hyperplane dot products. Hyperplanes are compile-time
+    literal arrays (broadcast as constants in the plan, no data shuffle)."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"]
+    v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    rows = []
+    for t in range(n_tables):
+        sig = None
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(x) for x in _hyperplane(t, p, dim)])
+            bit = F.when(_dot(F.col("v"), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+            term = bit * F.lit(2 ** p)
+            sig = term if sig is None else sig + term
+        rows.append(
+            F.struct(F.lit(t).alias("table"), sig.cast("long").alias("sig"))
+        )
+    return v.select(
+        "id", "v", F.explode(F.array(*rows)).alias("e")
+    ).select("id", "v", "e.table", "e.sig")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k: bucket-join candidates, exact rerank.
+    Returns (query_id, rank, neighbor_id, cos) — same shape as brute force
+    so recall can be measured by joining the two."""
+    dim = queries.select(F.size(vec_col).alias("d")).first()["d"]
+    qs = lsh_signatures(queries, id_col, vec_col, n_tables, n_planes, dim)
+    cs = lsh_signatures(corpus, id_col, vec_col, n_tables, n_planes, dim)
+    cand = (
+        qs.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "table", "sig")
+        .join(
+            cs.select(
+                F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "table", "sig"
+            ),
+            on=["table", "sig"],
+        )
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )

@@ -117,7 +117,19 @@ def object_value_column(
     IRI objects get the passthrough rule (P5, rdf_star_etl_yarrrml.py:361-374):
     if the single referenced column already holds an absolute IRI, use it
     verbatim; otherwise instantiate the template with sanitization.
+
+    Function objects (``function: ex:toLowerCase(input=$(x))``) compile the
+    registered implementation over their argument templates — executed for
+    real, unlike the reference (yarrrml_parser.py:577-606 parse-only).
     """
+    if obj.function is not None:
+        from ..functions.registry import resolve_function
+
+        impl = resolve_function(obj.function)
+        args = [
+            template_column(a, prefixes, base, sanitize=False) for a in obj.fn_args
+        ]
+        return impl(*args)
     assert obj.value is not None
     if obj.kind == "iri":
         minted = template_column(obj.value, prefixes, base, sanitize=True)

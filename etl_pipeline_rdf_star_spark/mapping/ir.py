@@ -51,6 +51,8 @@ class ObjectSpec:
     language: str | None = None  # fixed tag or a $(col) reference template
     mapping_ref: str | None = None  # o.mapping → parent triples map (J3)
     join_condition: tuple[str, str] | None = None  # (child_col, parent_col)
+    function: str | None = None  # YARRRML function name (executed — §2.8)
+    fn_args: tuple[str, ...] = ()  # positional arg templates
 
 
 @dataclass(frozen=True)

@@ -206,6 +206,32 @@ def _parse_object(raw: Any, external: dict[str, str]) -> list[ObjectSpec]:
                     )
                 )
                 continue
+            if "function" in obj:
+                fn_raw = str(obj["function"])
+                m = re.match(r"^([^()\s]+)\((.*)\)$", fn_raw.strip())
+                if m:  # inline: ex:toLowerCase(input=$(x), y=...)
+                    fn_name = m.group(1)
+                    args = tuple(
+                        a.split("=", 1)[-1].strip()
+                        for a in m.group(2).split(",")
+                        if a.strip()
+                    )
+                else:  # structured: function: + parameters: [[p, v], ...]
+                    fn_name = fn_raw
+                    args = tuple(
+                        str(p[-1] if isinstance(p, list) else p.get("value", p))
+                        for p in _as_list(obj.get("parameters"))
+                    )
+                out.append(
+                    ObjectSpec(
+                        kind=str(obj.get("type", "literal")).lower(),
+                        datatype=obj.get("datatype"),
+                        language=obj.get("language"),
+                        function=fn_name,
+                        fn_args=tuple(_expand_external(a, external) for a in args),
+                    )
+                )
+                continue
             value = obj.get("value")
             if value is None:
                 raise YarrrmlParseError(f"object without value: {obj!r}")

@@ -103,14 +103,67 @@ def materialize_asserted(
     return out.where(F.col("object").isNotNull())
 
 
+def materialize_mapping_refs(
+    sources: dict[str, DataFrame], ir: MappingDocumentIR, tm_name: str
+) -> list[DataFrame]:
+    """J3 — ``o.mapping`` + join condition (rr:parentTriplesMap): the object
+    of the triple is the *parent* triples map's subject, equi-joined on the
+    condition (SURVEY §2.3 J3; yarrrml_parser.py:432-437 parses, reference
+    executes only partially). Catalyst/AQE picks broadcast vs shuffle."""
+    from ..mapping.compiler import template_column
+
+    tm = ir.triples_maps[tm_name]
+    prefixes, base = ir.prefixes, ir.base_iri
+    out: list[DataFrame] = []
+    for po in tm.predicate_objects:
+        for obj in po.objects:
+            if obj.mapping_ref is None:
+                continue
+            parent_tm = ir.triples_maps[obj.mapping_ref]
+            child_key, parent_key = obj.join_condition or (None, None)
+            child = sources[tm_name].select(
+                template_column(tm.subject.templates[0], prefixes, base)
+                .cast("string")
+                .alias("subject"),
+                *( [F.col(child_key).cast("string").alias("_ck")] if child_key else [] ),
+            )
+            parent = sources[obj.mapping_ref].select(
+                template_column(parent_tm.subject.templates[0], prefixes, base)
+                .cast("string")
+                .alias("_parent_subject"),
+                *( [F.col(parent_key).cast("string").alias("_ck")] if parent_key else [] ),
+            )
+            joined = (
+                child.join(parent, on="_ck") if child_key else child.crossJoin(parent)
+            )
+            from ..mapping.compiler import expand_prefix
+
+            for pred in po.predicates:
+                out.append(
+                    joined.select(
+                        F.lit(tm_name).alias("tm"),
+                        F.col("subject"),
+                        F.lit(expand_prefix(pred, prefixes, base)).alias("predicate"),
+                        F.col("_parent_subject").alias("object"),
+                        F.lit(None).cast("string").alias("object_datatype"),
+                        F.lit(None).cast("string").alias("object_lang"),
+                        F.lit(None).cast("string").alias("graph"),
+                    )
+                )
+    return out
+
+
 def materialize_all_asserted(
     sources: dict[str, DataFrame], ir: MappingDocumentIR
 ) -> DataFrame:
-    """Union of all asserted (non-quoted) triples maps. Sources are keyed
-    by triples-map name (caller resolves each map's source access path)."""
+    """Union of all asserted (non-quoted) triples maps — template patterns
+    plus J3 mapping-ref join triples. Sources are keyed by triples-map name
+    (caller resolves each map's source access path)."""
     parts = []
     for tm in ir.asserted_maps():
-        parts.append(materialize_asserted(sources[tm.name], ir, tm.name))
+        if compile_asserted_patterns(ir, tm.name):
+            parts.append(materialize_asserted(sources[tm.name], ir, tm.name))
+        parts.extend(materialize_mapping_refs(sources, ir, tm.name))
     if not parts:
         raise ValueError("mapping document has no asserted triples maps")
     out = parts[0]

@@ -409,6 +409,163 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- dedup / similarity / text-analysis ops ---------------------------------
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID over documents (training-data op)."""
+    from ..functions.text import with_lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_lang_id(docs).select(
+        "doc_id", "score_en", "score_fr", "score_de", "score_es", "pred_lang"
+    )
+
+
+def _lang_id_sql() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    score_cols = []
+    for lang, words in LANG_MARKERS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_intersect(list_distinct(string_split(text, ' ')), [{arr}]))"
+            f" AS score_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    whens = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if other > lang else ">"
+            conds.append(f"score_{lang} {op} score_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+SELECT doc_id, score_en, score_fr, score_de, score_es,
+       CASE {' '.join(whens)} ELSE 'und' END AS pred_lang
+FROM s"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable md5 MinHash signatures (dedup building block)."""
+    from ..functions.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signatures(docs, k=3, num_hashes=6)
+
+
+def _minhash_sql(num_hashes: int = 6) -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(sh, x -> md5('{i}|' || x))) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS sh
+  FROM t
+)
+SELECT doc_id, {mh} FROM s"""
+
+
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded candidate near-dup pairs (rows-only check — banding is
+    not reasonably ANSI-SQL-expressible)."""
+    from ..functions.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, bands=4, rows_per_band=3)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only — 60-bit bit arithmetic)."""
+    from ..functions.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_pairs(docs, max_hamming=12)
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ 0.8 over documents."""
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+
+
+_JACCARD_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS sh
+  FROM t
+),
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+c AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN c ca ON ca.doc_id = doc_a
+JOIN c cb ON cb.doc_id = doc_b
+WHERE n_common / (ca.n_sh + cb.n_sh - n_common) >= 0.8
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs ≥ 0.95 over embeddings."""
+    from ..functions.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.95)
+
+
+_EMB_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+"""
+
+
+def q_embedding_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only — approximate by design;
+    recall vs brute force is asserted in tests/test_training_ops.py)."""
+    from ..functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        k=5,
+        n_tables=16,
+        n_planes=4,
+    ).select("query_id", "rank", "neighbor_id")
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rows-only — nested window minima in ANSI SQL
+    would be a page of lateral joins; determinism is covered by tests)."""
+    from ..functions.text import with_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -567,6 +724,14 @@ SELECT doc_id,
             ELSE 'low' END AS quality_bucket
 FROM t""",
     ),
+    "doc_lang_id": QueryEntry(q_doc_lang_id, _lang_id_sql()),
+    "minhash_signatures": QueryEntry(q_minhash_signatures, _minhash_sql()),
+    "minhash_lsh_dups": QueryEntry(q_minhash_lsh_dups, None),
+    "simhash_near_dups": QueryEntry(q_simhash_near_dups, None),
+    "ngram_jaccard_dups": QueryEntry(q_ngram_jaccard_dups, _JACCARD_SQL),
+    "embedding_near_dups": QueryEntry(q_embedding_near_dups, _EMB_DUP_SQL),
+    "embedding_lsh_knn": QueryEntry(q_embedding_lsh_knn, None),
+    "doc_fingerprints": QueryEntry(q_doc_fingerprints, None),
     "embedding_knn": QueryEntry(
         q_embedding_knn,
         """

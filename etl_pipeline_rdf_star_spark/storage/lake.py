@@ -32,8 +32,9 @@ Scale design (the part that must survive 100 TB / 10^10 events):
   not the table. File pruning is metadata-only (the log records each file's
   bucket, like an Iceberg manifest) — no directory listing, no full scan.
 * **The anti-join is bucket-local.** Survivor computation joins existing rows
-  of affected buckets against the batch's key set; Spark broadcasts the key
-  set (micro-batch keys ≪ table) so there is no shuffle of table data.
+  of affected buckets against the batch's key set; AQE picks broadcast when
+  the micro-batch key set is small (the steady-state case — no shuffle of
+  table data) and falls back to shuffle join for table-sized replay batches.
 * **No driver materialization** beyond the distinct bucket ids (≤ n_buckets
   integers) and file metadata.
 * **Exactly-once.** Every commit records its ``batch_id``; re-merging an
@@ -258,20 +259,26 @@ class LakeTable:
             order_col = None
         if order_col:
             # keys where the table already holds a newer version than the
-            # best this batch offers — those src rows are stale; drop them
+            # best this batch offers — those src rows are stale; drop them.
+            # NOTE: broadcast-probe only — existing is scanned once, never
+            # shuffled (an existing-side groupBy here would shuffle O(bucket
+            # data) per micro-batch, which kills sustained throughput).
             src_max = src.groupBy(*self.key_cols).agg(
                 F.max(order_col).alias("_src_ord")
             )
+            # no explicit broadcast hint: AQE broadcasts when the batch key
+            # set is small and falls back to shuffle join when a replay
+            # batch is table-sized (a driver-built broadcast of a huge batch
+            # serializes on the driver and flatlines scaling)
             stale_keys = (
-                existing.groupBy(*self.key_cols)
-                .agg(F.max(order_col).alias("_tgt_ord"))
-                .join(F.broadcast(src_max), on=self.key_cols)
-                .where(F.col("_tgt_ord") > F.col("_src_ord"))
+                existing.join(src_max, on=self.key_cols, how="inner")
+                .where(F.col(order_col) > F.col("_src_ord"))
                 .select(*self.key_cols)
+                .distinct()
             )
-            src = src.join(F.broadcast(stale_keys), on=self.key_cols, how="left_anti")
+            src = src.join(stale_keys, on=self.key_cols, how="left_anti")
         keys = src.select(*self.key_cols).distinct()
-        survivors = existing.join(F.broadcast(keys), on=self.key_cols, how="left_anti")
+        survivors = existing.join(keys, on=self.key_cols, how="left_anti")
 
         inserts = src
         if op_col:

@@ -247,11 +247,19 @@ class CdcEngine:
         # discovery + survivors + write) and the metrics rollup — without the
         # cache each of those jobs re-scans + re-windows the source events
         wide = self.materialize_wide(latest).persist()
-        counts = wide.groupBy().agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
-        ).collect()[0]
-        n_latest, n_del = counts["n"] or 0, counts["d"] or 0
+        # one stats job serves both the ledger counts and the per-bucket
+        # lineage metrics (O(n_buckets) rows)
+        per_bucket = (
+            wide.withColumn("bucket", F.pmod(F.xxhash64(*KEY), self.table.n_buckets))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("dels"),
+            )
+            .collect()
+        )
+        n_latest = sum(r["rows"] for r in per_bucket)
+        n_del = sum(r["dels"] or 0 for r in per_bucket)
 
         # Deletes are upserted as TOMBSTONES (_deleted=true), not physically
         # removed: a physically-removed key couldn't order-guard against a
@@ -298,15 +306,6 @@ class CdcEngine:
             batch_id,
         )
         if not stats.skipped:
-            # per-partition lineage: O(n_buckets) rows — collect is bounded
-            per_bucket = (
-                wide.withColumn(
-                    "bucket", F.pmod(F.xxhash64(*KEY), self.table.n_buckets)
-                )
-                .groupBy("bucket")
-                .agg(F.count("*").alias("rows"))
-                .collect()
-            )
             metrics_schema = StructType(
                 [
                     StructField("batch_id", StringType()),
