@@ -1,0 +1,232 @@
+"""Batch CLI — the reference's ``batch_cli.py`` surface over the CDC engine.
+
+Subcommands (reference batch_cli.py:328-433):
+
+  replay      run the deterministic event log into a warehouse (cmd_run)
+  list        ledger listing (cmd_list)
+  status      table + ledger summary (cmd_status)
+  diff        added/removed/changed keys between two table versions
+              (cmd_diff; batch_manager.py:460-496)
+  export      dump live rows or the triples view to parquet/ndjson-ish text
+              (cmd_export; TriG fidelity is explicitly out of scope — we
+              export relational row text, verified by sha256 not bytes)
+  provenance  annotation quads for one subject (batch_manager.py:641-696)
+  query       run a named corpus query
+
+Usage: ``python -m etl_pipeline_rdf_star_spark.cli <cmd> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(cores: str | int | None = None):
+    from .session import get_spark
+
+    s = get_spark("rdfstar-cli", cores=cores)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def cmd_replay(args) -> None:
+    from .data import synth
+    from .streaming.cdc import CdcEngine
+
+    spark = _spark(args.cores)
+    eng = CdcEngine(spark, args.warehouse, n_buckets=args.n_buckets)
+    ev = synth.cdc_events(spark, args.sf_dir)
+    results = eng.replay(ev, num_batches=args.batches)
+    for r in results:
+        print(
+            json.dumps(
+                {
+                    "batch_id": r.batch_id,
+                    "events": r.events,
+                    "upserts": r.upserts,
+                    "deletes": r.deletes,
+                    "skipped": r.merge.skipped,
+                }
+            )
+        )
+
+
+def cmd_list(args) -> None:
+    from .storage.lake import LakeTable
+
+    spark = _spark(args.cores)
+    ledger = LakeTable(spark, f"{args.warehouse}/_batches").read()
+    for row in ledger.orderBy("table_version").collect():
+        print(json.dumps(row.asDict()))
+
+
+def cmd_status(args) -> None:
+    from .streaming.cdc import CdcEngine
+
+    spark = _spark(args.cores)
+    eng = CdcEngine(spark, args.warehouse)
+    snap = eng.table.snapshot()
+    print(
+        json.dumps(
+            {
+                "table_version": snap.version,
+                "data_files": len(snap.files),
+                "committed_batches": len(snap.committed_batches),
+                "live_rows": eng.current_state().count(),
+                "total_rows": eng.table.read().count(),
+            }
+        )
+    )
+
+
+def cmd_diff(args) -> None:
+    """Anti-join diff between two snapshot versions (J6/J7)."""
+    from pyspark.sql import functions as F
+
+    from .streaming.cdc import CdcEngine
+
+    spark = _spark(args.cores)
+    eng = CdcEngine(spark, args.warehouse)
+
+    def live(v):
+        df = eng.table.read(version=v)
+        if "_deleted" in df.columns:
+            df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        return df.select("repo", "path", "commit")
+
+    old, new = live(args.from_version), live(args.to_version)
+    added = new.join(old, ["repo", "path"], "left_anti").count()
+    removed = old.join(new, ["repo", "path"], "left_anti").count()
+    changed = (
+        new.alias("n")
+        .join(old.alias("o"), ["repo", "path"])
+        .where(F.col("n.commit") != F.col("o.commit"))
+        .count()
+    )
+    print(
+        json.dumps(
+            {
+                "from": args.from_version,
+                "to": args.to_version,
+                "added": added,
+                "removed": removed,
+                "changed": changed,
+            }
+        )
+    )
+
+
+def cmd_export(args) -> None:
+    from .streaming.cdc import CdcEngine
+
+    spark = _spark(args.cores)
+    eng = CdcEngine(spark, args.warehouse)
+    df = eng.triples_view() if args.what == "triples" else eng.current_state()
+    if args.fmt == "parquet":
+        df.write.mode("overwrite").parquet(args.out)
+    else:  # nt-ish line text for debugging
+        from pyspark.sql import functions as F
+
+        (
+            df.select(
+                F.concat_ws(
+                    " ",
+                    F.concat(F.lit("<"), "subject", F.lit(">")),
+                    F.concat(F.lit("<"), "predicate", F.lit(">")),
+                    F.concat(F.lit('"'), "object", F.lit('" .')),
+                ).alias("value")
+            ).write.mode("overwrite").text(args.out)
+            if args.what == "triples"
+            else df.write.mode("overwrite").json(args.out)
+        )
+    print(json.dumps({"exported": args.what, "to": args.out, "rows": df.count()}))
+
+
+def cmd_provenance(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .streaming.cdc import CdcEngine
+
+    spark = _spark(args.cores)
+    eng = CdcEngine(spark, args.warehouse)
+    anns = eng.annotations_view().where(F.col("quoted.s") == args.subject)
+    for row in anns.collect():
+        print(
+            json.dumps(
+                {
+                    "reifier": row["reifier"],
+                    "quoted": {
+                        "s": row["quoted"]["s"],
+                        "p": row["quoted"]["p"],
+                        "o": row["quoted"]["o"],
+                    },
+                    "predicate": row["predicate"],
+                    "object": row["object"],
+                }
+            )
+        )
+
+
+def cmd_query(args) -> None:
+    from .queries import QUERIES
+
+    spark = _spark(args.cores)
+    entry = QUERIES[args.name]
+    df = entry.fn(spark, args.sf_dir)
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="rdfstar-cli")
+    ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("replay")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--batches", type=int, default=4)
+    p.add_argument("--n-buckets", type=int, default=32)
+    p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("list")
+    p.add_argument("--warehouse", required=True)
+    p.set_defaults(fn=cmd_list)
+
+    p = sub.add_parser("status")
+    p.add_argument("--warehouse", required=True)
+    p.set_defaults(fn=cmd_status)
+
+    p = sub.add_parser("diff")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--from-version", type=int, required=True)
+    p.add_argument("--to-version", type=int, required=True)
+    p.set_defaults(fn=cmd_diff)
+
+    p = sub.add_parser("export")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--what", choices=["state", "triples"], default="triples")
+    p.add_argument("--fmt", choices=["parquet", "text"], default="parquet")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("provenance")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--subject", required=True)
+    p.set_defaults(fn=cmd_provenance)
+
+    p = sub.add_parser("query")
+    p.add_argument("name")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_query)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

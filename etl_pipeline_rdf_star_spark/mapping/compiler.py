@@ -227,6 +227,52 @@ def subject_not_blank_filter(template: str) -> Column | None:
     return pred
 
 
+def required_columns(ir: MappingDocumentIR, tm_name: str) -> set[str]:
+    """All source columns a triples map references (P6 — reference
+    get_required_columns_for_source, yarrrml_parser.py:512-532). Catalyst
+    prunes scans automatically; this exists for compile-time validation."""
+    tm = ir.triples_maps[tm_name]
+    refs: set[str] = set()
+    for t in tm.subject.templates:
+        refs.update(template_refs(t))
+    if tm.subject.quoted_join:
+        refs.add(tm.subject.quoted_join.child_key)
+    for po in tm.predicate_objects:
+        for obj in po.objects:
+            for t in (obj.value, obj.datatype, obj.language):
+                if t:
+                    refs.update(template_refs(t))
+            for a in obj.fn_args:
+                refs.update(template_refs(a))
+            if obj.join_condition:
+                refs.add(obj.join_condition[0])
+    if tm.condition:
+        for v in tm.condition.parameters.values():
+            refs.update(template_refs(v))
+    for po in tm.predicate_objects:
+        if po.condition:
+            for v in po.condition.parameters.values():
+                refs.update(template_refs(v))
+    return refs
+
+
+def validate_mapping_against_schema(
+    ir: MappingDocumentIR, source_columns: dict[str, list[str]]
+) -> list[str]:
+    """Compile-time check: every ``$(col)`` reference must exist in its
+    source's schema. Returns human-readable problem strings (empty=valid)."""
+    problems = []
+    for name, tm in ir.triples_maps.items():
+        if name not in source_columns:
+            problems.append(f"triples map {name!r}: no source bound")
+            continue
+        have = set(source_columns[name])
+        missing = required_columns(ir, name) - have
+        for col in sorted(missing):
+            problems.append(f"triples map {name!r}: missing column {col!r}")
+    return problems
+
+
 @dataclass(frozen=True)
 class CompiledTriplePattern:
     """One (subject, predicate, object) emission rule, fully compiled."""

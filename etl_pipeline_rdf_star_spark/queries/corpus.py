@@ -409,6 +409,92 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_files_in_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES/isin inline table (§2.7 — reference expands subclass closure
+    into VALUES, rdf-workbench.py:1127-1136)."""
+    langs = ["en", "fr"]
+    return (
+        _final_state(spark, sf_dir)
+        .where(F.col("lang").isin(langs))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_files"))
+    )
+
+
+def q_stale_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal arithmetic (§2.8 — retention query shape
+    sparql/batch_queries.rq:572-596: NOW() - created > duration):
+    live files whose last change is > 30 min older than the log head,
+    bucketed by staleness minutes."""
+    ev = synth.cdc_events(spark, sf_dir)
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    head = latest.agg(F.max("event_ts").alias("h"))
+    return (
+        latest.crossJoin(head)
+        .withColumn(
+            "stale_min",
+            F.floor(
+                (F.col("h").cast("long") - F.col("event_ts").cast("long")) / 60
+            ),
+        )
+        .where(F.col("stale_min") > 30)
+        .groupBy("repo")
+        .agg(
+            F.count("*").alias("n_stale"),
+            F.max("stale_min").alias("max_stale_min"),
+        )
+    )
+
+
+# -- event-stream analytics (events table) ----------------------------------
+
+
+def q_events_per_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (streaming-style tumbling window shape,
+    computed batch-side; §2.9)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap > 30 min (session-window shape)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    secs = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch seconds
+    gap = secs - F.lag(secs).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the props column (S3's runtime analogue)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high"),
+    )
+
+
 # -- dedup / similarity / text-analysis ops ---------------------------------
 
 
@@ -723,6 +809,61 @@ SELECT doc_id,
             WHEN CAST(n_dist AS DOUBLE) / n_tok > 0.3 THEN 'mid'
             ELSE 'low' END AS quality_bucket
 FROM t""",
+    ),
+    "files_in_langs": QueryEntry(
+        q_files_in_langs,
+        f"""
+SELECT lang, count(*) AS n_files FROM {_FINAL_SQL} f
+WHERE lang IN ('en', 'fr') GROUP BY lang""",
+    ),
+    "stale_files": QueryEntry(
+        q_stale_files,
+        f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM {_EVENTS_SQL} e
+),
+latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D'),
+head AS (SELECT max(event_ts) AS h FROM latest)
+SELECT repo, count(*) AS n_stale,
+       max(floor((epoch(h) - epoch(event_ts)) / 60)) AS max_stale_min
+FROM latest CROSS JOIN head
+WHERE floor((epoch(h) - epoch(event_ts)) / 60) > 30
+GROUP BY repo""",
+    ),
+    "events_per_type_hour": QueryEntry(
+        q_events_per_type_hour,
+        """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2""",
+    ),
+    "user_sessions": QueryEntry(
+        q_user_sessions,
+        """
+WITH g AS (
+  -- floor() matches Spark's cast(ts as long) microsecond truncation
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id""",
+    ),
+    "events_props": QueryEntry(
+        q_events_props,
+        """
+WITH t AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k,
+       count(CASE WHEN k > 50 THEN 1 END) AS n_high
+FROM t GROUP BY event_type""",
     ),
     "doc_lang_id": QueryEntry(q_doc_lang_id, _lang_id_sql()),
     "minhash_signatures": QueryEntry(q_minhash_signatures, _minhash_sql()),

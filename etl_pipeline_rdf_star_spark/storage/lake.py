@@ -227,6 +227,7 @@ class LakeTable:
         batch_id: str,
         op_col: str | None = None,
         order_col: str | None = None,
+        affected_buckets: list[int] | None = None,
     ) -> MergeStats:
         """Key-replacement MERGE: all target rows whose key appears in
         ``src`` are removed, then ``src`` rows (minus deletes) are inserted.
@@ -250,10 +251,13 @@ class LakeTable:
             return MergeStats(batch_id=batch_id, skipped=True, version=snap.version)
 
         src = self._with_bucket(src)
-        # ≤ n_buckets ints — the only driver-side collect
-        affected = [
-            r[0] for r in src.select("_bucket").distinct().collect()
-        ]
+        # ≤ n_buckets ints — the only driver-side collect; callers that
+        # already aggregated per-bucket stats pass the list in and save a job
+        affected = (
+            affected_buckets
+            if affected_buckets is not None
+            else [r[0] for r in src.select("_bucket").distinct().collect()]
+        )
         existing = self.read_buckets(affected, snap)
         if order_col and order_col not in existing.columns:
             order_col = None

@@ -267,7 +267,12 @@ class CdcEngine:
         # CDC tombstone rule; Iceberg MoR delete-marker analogue). Reads
         # filter tombstones; purge_tombstones() reclaims them once the
         # event-time watermark guarantees no older event can still arrive.
-        stats = self.table.merge(wide.drop("op"), batch_id, order_col="seq")
+        stats = self.table.merge(
+            wide.drop("op"),
+            batch_id,
+            order_col="seq",
+            affected_buckets=[int(r["bucket"]) for r in per_bucket],
+        )
 
         from pyspark.sql.types import (
             BooleanType,

@@ -1,0 +1,106 @@
+"""Graph operators (closure, neighbors) and the batch CLI surface."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_pipeline_rdf_star_spark.operators.graph import (
+    neighbors,
+    subclass_closure,
+    transitive_closure,
+)
+
+
+def test_transitive_closure_chain(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    got = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    assert got == {
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        ("a", "c"), ("b", "d"), ("a", "d"),
+        ("x", "y"),
+    }
+
+
+def test_transitive_closure_cycle_terminates(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    assert got == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
+
+
+def test_neighbors_and_subclass(spark):
+    rows = [
+        ("e:Car", "rdfs:sub", "e:Vehicle"),
+        ("e:Vehicle", "rdfs:sub", "e:Thing"),
+        ("e:c1", "e:type", "e:Car"),
+    ]
+    triples = spark.createDataFrame(
+        rows, "subject string, predicate string, object string"
+    )
+    nb = neighbors(triples, "e:Car")
+    assert {(r.direction, r.node) for r in nb.collect()} == {
+        ("out", "e:Vehicle"),
+        ("in", "e:c1"),
+    }
+    cl = subclass_closure(triples, subclass_pred="rdfs:sub")
+    assert {(r.subclass, r.superclass) for r in cl.collect()} == {
+        ("e:Car", "e:Vehicle"),
+        ("e:Vehicle", "e:Thing"),
+        ("e:Car", "e:Thing"),
+    }
+
+
+def test_cli_replay_status_list_diff_provenance(spark, tmp_path, capsys, sf_dir):
+    """Drive the CLI surface in-process (reference batch_cli.py:328-433)."""
+    from etl_pipeline_rdf_star_spark import cli
+
+    wh = str(tmp_path / "wh")
+    cli.main(["replay", "--warehouse", wh, "--sf-dir", sf_dir, "--batches", "2"])
+    out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(out) == 2 and not any(o["skipped"] for o in out)
+
+    cli.main(["status", "--warehouse", wh])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["live_rows"] > 0 and st["committed_batches"] >= 2
+
+    cli.main(["list", "--warehouse", wh])
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {r["batch_id"] for r in rows} == {"replay-00000", "replay-00001"}
+
+    cli.main(
+        ["diff", "--warehouse", wh, "--from-version", "0", "--to-version", "1"]
+    )
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["added"] >= 0 and (d["added"] + d["removed"] + d["changed"]) > 0
+
+    subj = (
+        __import__("etl_pipeline_rdf_star_spark.streaming.cdc", fromlist=["CdcEngine"])
+        .CdcEngine(spark, wh)
+        .annotations_view()
+        .select("quoted.s")
+        .first()[0]
+    )
+    cli.main(["provenance", "--warehouse", wh, "--subject", subj])
+    provs = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(provs) == 4  # 4 annotation quads per fact
+    assert all(p["quoted"]["s"] == subj for p in provs)
+
+
+def test_cli_export_and_query(tmp_path, capsys, sf_dir):
+    from etl_pipeline_rdf_star_spark import cli
+
+    wh = str(tmp_path / "wh2")
+    cli.main(["replay", "--warehouse", wh, "--sf-dir", sf_dir, "--batches", "1"])
+    capsys.readouterr()
+    out = str(tmp_path / "exp")
+    cli.main(["export", "--warehouse", wh, "--what", "triples", "--out", out])
+    e = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert e["rows"] > 0
+    cli.main(["query", "files_per_repo", "--sf-dir", sf_dir, "--limit", "5"])
+    q = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(q) == 5 and "n_files" in q[0]

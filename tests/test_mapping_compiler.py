@@ -290,3 +290,26 @@ mappings:
         t = materialize_asserted(df, ir, "m")
         rows = t.collect()
         assert len(rows) == 1 and rows[0].object == "active"
+
+
+def test_required_columns_and_validation():
+    from etl_pipeline_rdf_star_spark.mapping.compiler import (
+        required_columns,
+        validate_mapping_against_schema,
+    )
+    from etl_pipeline_rdf_star_spark.mapping.flagship import flagship_ir
+
+    ir = flagship_ir()
+    req = required_columns(ir, "file")
+    assert {"repo", "path", "commit", "content_sha256"} <= req
+    ok = validate_mapping_against_schema(
+        ir,
+        {
+            name: ["repo", "path", "commit", "lang", "content_sha256",
+                   "confidence", "file_key"]
+            for name in ir.triples_maps
+        },
+    )
+    assert ok == []
+    bad = validate_mapping_against_schema(ir, {name: ["repo"] for name in ir.triples_maps})
+    assert any("missing column 'path'" in p for p in bad)

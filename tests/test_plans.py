@@ -1,0 +1,113 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+Each test inspects ``explain(formatted)`` output rather than results —
+regression-guards for pushdown, scan dedup, codegen, and join strategy.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_parquet_filter_and_column_pushdown(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in p
+    # column-pruned scan: only the two referenced columns reach the reader
+    assert "l_extendedprice" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_materializer_single_scan_per_source(spark):
+    """The explode-based materializer reads its source ONCE no matter how
+    many emission rules the triples map has (vs union-of-selects which
+    scans per rule)."""
+    from etl_pipeline_rdf_star_spark.mapping.flagship import (
+        flagship_ir,
+        prepare_input,
+    )
+    from etl_pipeline_rdf_star_spark.operators.materialize import (
+        materialize_asserted,
+    )
+
+    df = spark.createDataFrame(
+        [("r", "p", "c", "en", "x")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = materialize_asserted(prepare_input(df), flagship_ir(), "file")
+    import re
+
+    p = plan(out)
+    # formatted mode lists each node in tree AND detail — count detail headers
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", p)) <= 1
+    assert "Generate" in p  # explode
+    assert "* " in p  # whole-stage-codegen marker in formatted mode
+
+
+def test_wide_row_materialization_is_codegen(spark):
+    from etl_pipeline_rdf_star_spark.streaming.cdc import CdcEngine
+    import tempfile
+
+    eng = CdcEngine(spark, tempfile.mkdtemp(), n_buckets=4)
+    df = spark.createDataFrame(
+        [(0, "I", "r", "p", "c", "en", "x", None)],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string, event_ts timestamp",
+    )
+    p = plan(eng.materialize_wide(df))
+    assert "* Project" in p  # codegen'd projection
+    # no Python evaluation anywhere in the CDC hot path
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_broadcast_join_for_small_dim(spark, sf_dir):
+    from etl_pipeline_rdf_star_spark.queries.corpus import q_shipping_priority
+
+    p = plan(q_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_sort_limit_becomes_top_k(spark, sf_dir):
+    from etl_pipeline_rdf_star_spark.queries.corpus import q_top_repos
+
+    p = plan(q_top_repos(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dedup_window_partitions_by_full_key(spark, sf_dir):
+    """Skew guard: the dedup window must shuffle on (repo, path) — never
+    repo alone, which would funnel the hot repo into one task."""
+    import tempfile
+
+    from etl_pipeline_rdf_star_spark.data import synth
+    from etl_pipeline_rdf_star_spark.streaming.cdc import CdcEngine
+
+    eng = CdcEngine(spark, tempfile.mkdtemp(), n_buckets=4)
+    ev = synth.cdc_events(spark, sf_dir)
+    p = plan(eng.dedup_latest(ev))
+    assert "hashpartitioning(repo" in p and "path" in p.split("hashpartitioning")[1].split(")")[0]
+
+
+def test_lake_merge_prunes_buckets(spark, tmp_path):
+    """MERGE must read only affected buckets' files (manifest pruning)."""
+    from etl_pipeline_rdf_star_spark.storage.lake import LakeTable
+
+    tbl = LakeTable(spark, str(tmp_path / "t"), key_cols=["k"], n_buckets=8)
+    tbl.create(spark.createDataFrame([(f"k{i}", i) for i in range(64)], "k string, v long"))
+    st = tbl.merge(spark.createDataFrame([("k0", 99)], "k string, v long"), "b1")
+    assert st.rewritten_buckets == 1
+    snap = tbl.snapshot()
+    untouched_v0 = [f for f in snap.files if "c00000000" in f["path"]]
+    assert len(untouched_v0) >= 6  # most v0 bucket files survive untouched
