@@ -74,6 +74,21 @@ def main() -> None:
         events_per_sec = n_ev / replay_s
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+    # merge-on-read ingest mode (sustained-throughput path) + compaction
+    wh2 = tempfile.mkdtemp(prefix="bench_mor_")
+    try:
+        eng2 = CdcEngine(spark, wh2, n_buckets=max(cpus, 16), mode="mor")
+        t0 = time.perf_counter()
+        eng2.replay(events, num_batches=4, id_prefix="bench")
+        mor_s = time.perf_counter() - t0
+        timings["cdc_replay_mor"] = round(mor_s, 3)
+        t0 = time.perf_counter()
+        eng2.compact()
+        timings["mor_compact"] = round(time.perf_counter() - t0, 3)
+        mor_events_per_sec = n_ev / mor_s
+    finally:
+        shutil.rmtree(wh2, ignore_errors=True)
     events.unpersist()
 
     # -- corpus queries ----------------------------------------------------
@@ -94,6 +109,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "events_per_sec": round(events_per_sec, 1),
+                "events_per_sec_mor": round(mor_events_per_sec, 1),
                 "n_events": n_ev,
                 "cpus": cpus,
             }

@@ -69,6 +69,20 @@ _LOG_DIR = "_log"
 _DATA_DIR = "data"
 
 
+def _merge_schemas(base: StructType, incoming: StructType) -> StructType:
+    """Iceberg-style additive evolution: incoming fields not in base are
+    appended (nullable); existing fields keep base types."""
+    from pyspark.sql.types import StructField
+
+    names = {f.name for f in base.fields}
+    extra = [
+        StructField(f.name, f.dataType, True)
+        for f in incoming.fields
+        if f.name not in names
+    ]
+    return StructType(list(base.fields) + extra)
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -373,6 +387,109 @@ class LakeTable:
         )
         self._commit(snap_out)
         return MergeStats(batch_id=batch_id, skipped=False, version=version)
+
+    def merge_mor(
+        self,
+        src: DataFrame,
+        batch_id: str,
+        order_col: str = "seq",
+        deleted_col: str = "_deleted",
+    ) -> MergeStats:
+        """Merge-on-read MERGE: the Iceberg-MoR / Hudi-MOR strategy for
+        sustained CDC ingest. The batch is APPENDED as bucket-tagged delta
+        files — no read of existing data, strictly O(batch) work per
+        commit — and :meth:`read_resolved` resolves latest-version-per-key
+        (by ``order_col``) at query time, filtering tombstones.
+
+        Why it matters at 10^10 events: copy-on-write rewrites every
+        affected bucket per micro-batch (read+join+write amplification),
+        so a replay batch that touches most keys costs O(table).
+        Merge-on-read makes ingest cost independent of table size; read
+        cost grows with delta count until :meth:`compact` folds deltas
+        back into one version per key (run on a cadence / when
+        delta-file count crosses a threshold).
+
+        Late/duplicate delivery needs no tombstone special-casing here:
+        every version is present, so the max-``order_col`` row wins
+        regardless of arrival order, and re-delivered batch_ids are
+        skipped wholesale."""
+        if batch_id in self.committed_batches():
+            snap = self.snapshot()
+            return MergeStats(batch_id=batch_id, skipped=True, version=snap.version)
+        src = self._with_bucket(src)
+        if not self.exists():
+            return self.create(src, batch_id)
+        snap = self.snapshot()
+        version = snap.version + 1
+        files = self._write_data(src, version)
+        out_snap = Snapshot(
+            version=version,
+            operation="merge_mor",
+            files=snap.files + files,
+            schema_json=json.dumps(
+                _merge_schemas(self._schema(snap), src.schema).jsonValue()
+            ),
+            committed_batches=snap.committed_batches + [batch_id],
+            summary={"batch_id": batch_id, "mode": "mor"},
+            timestamp=time.time(),
+        )
+        self._commit(out_snap)
+        return MergeStats(batch_id=batch_id, skipped=False, version=version)
+
+    def read_resolved(
+        self,
+        version: int | None = None,
+        order_col: str = "seq",
+        deleted_col: str = "_deleted",
+        keep_deleted: bool = False,
+    ) -> DataFrame:
+        """MoR read path: latest version per key across base + delta files.
+        The window shuffles once on the key — at scale this is the read
+        amplification you pay between compactions."""
+        from pyspark.sql import Window
+
+        df = self.read(version)
+        if order_col not in df.columns:
+            return df
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col(order_col).desc())
+        out = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if not keep_deleted and deleted_col in out.columns:
+            out = out.where(~F.coalesce(F.col(deleted_col), F.lit(False)))
+        return out
+
+    def compact(
+        self,
+        batch_id: str | None = None,
+        order_col: str = "seq",
+        deleted_col: str = "_deleted",
+        drop_tombstones: bool = False,
+    ) -> MergeStats:
+        """Fold MoR deltas: rewrite the table as one resolved version per
+        key (optionally dropping tombstones once the watermark allows).
+        Equivalent to Iceberg's rewrite_data_files maintenance action."""
+        snap = self.snapshot()
+        resolved = self.read_resolved(
+            order_col=order_col, deleted_col=deleted_col,
+            keep_deleted=not drop_tombstones,
+        )
+        bid = batch_id or f"compact-{snap.version}"
+        version = snap.version + 1
+        files = self._write_data(self._with_bucket(resolved), version)
+        out_snap = Snapshot(
+            version=version,
+            operation="compact",
+            files=files,  # replaces ALL files
+            schema_json=snap.schema_json,
+            committed_batches=snap.committed_batches + [bid],
+            summary={"batch_id": bid, "mode": "compact"},
+            timestamp=time.time(),
+        )
+        self._commit(out_snap)
+        return MergeStats(batch_id=bid, skipped=False, version=version)
 
     def append(self, df: DataFrame, batch_id: str) -> MergeStats:
         """Append-only commit (ledgers/metrics). Idempotent per batch_id."""

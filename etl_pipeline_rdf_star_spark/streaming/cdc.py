@@ -157,7 +157,11 @@ class CdcEngine:
         n_buckets: int = 32,
         asserted_tm: str = "file",
         annotation_tm: str | None = "provenance",
+        mode: str = "cow",
     ):
+        if mode not in {"cow", "mor"}:
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        self.mode = mode
         self.spark = spark
         self.warehouse = warehouse
         self.ir = ir or flagship_ir()
@@ -204,10 +208,17 @@ class CdcEngine:
         return self.live_rows().select("repo", "path", "commit", "lang", "content")
 
     def live_rows(self) -> DataFrame:
+        if self.mode == "mor":
+            return self.table.read_resolved()
         df = self.table.read()
         if "_deleted" in df.columns:
             df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df
+
+    def compact(self) -> None:
+        """MoR maintenance: fold deltas to one version per key."""
+        if self.mode == "mor":
+            self.table.compact()
 
     def purge_tombstones(self) -> None:
         """Compaction: physically drop tombstone rows (key-replacement merge
@@ -267,12 +278,17 @@ class CdcEngine:
         # CDC tombstone rule; Iceberg MoR delete-marker analogue). Reads
         # filter tombstones; purge_tombstones() reclaims them once the
         # event-time watermark guarantees no older event can still arrive.
-        stats = self.table.merge(
-            wide.drop("op"),
-            batch_id,
-            order_col="seq",
-            affected_buckets=[int(r["bucket"]) for r in per_bucket],
-        )
+        if self.mode == "mor":
+            # merge-on-read: append-only O(batch) commit; reads resolve
+            # latest-per-key; compact() on a cadence (see lake.merge_mor)
+            stats = self.table.merge_mor(wide.drop("op"), batch_id)
+        else:
+            stats = self.table.merge(
+                wide.drop("op"),
+                batch_id,
+                order_col="seq",
+                affected_buckets=[int(r["bucket"]) for r in per_bucket],
+            )
 
         from pyspark.sql.types import (
             BooleanType,

@@ -168,3 +168,50 @@ def test_purge_tombstones(spark, tmp_path, events, oracle_fp):
     eng.purge_tombstones()
     assert eng.table.read().count() == n_live
     assert table_fingerprint(eng.current_state(), STATE_COLS) == oracle_fp
+
+
+class TestMorMode:
+    """Merge-on-read ingest mode: O(batch) commits, read-time resolution."""
+
+    def test_mor_replay_converges(self, spark, tmp_path, events, oracle_fp):
+        eng = CdcEngine(spark, str(tmp_path / "mor"), mode="mor")
+        eng.replay(events, num_batches=4)
+        assert table_fingerprint(eng.current_state(), STATE_COLS) == oracle_fp
+
+    def test_mor_out_of_order_and_dups_converge(
+        self, spark, tmp_path, events, oracle_fp
+    ):
+        eng = CdcEngine(spark, str(tmp_path / "mor2"), mode="mor")
+        hi = events.agg(F.max("seq")).collect()[0][0]
+        step = (hi + 3) // 3
+        chunks = [
+            events.where((F.col("seq") >= i * step) & (F.col("seq") < (i + 1) * step))
+            for i in range(3)
+        ]
+        for i, c in enumerate(reversed(chunks)):  # reverse order + batch 1 twice
+            eng.apply_batch(c, f"m-{i}")
+        eng.apply_batch(chunks[1], "m-dup")  # duplicated content, new id
+        assert table_fingerprint(eng.current_state(), STATE_COLS) == oracle_fp
+
+    def test_mor_exactly_once(self, spark, tmp_path, events):
+        eng = CdcEngine(spark, str(tmp_path / "mor3"), mode="mor")
+        eng.replay(events, num_batches=2)
+        fp = table_fingerprint(eng.current_state(), STATE_COLS)
+        res = eng.apply_batch(events.limit(100), "replay-00000")
+        assert res.merge.skipped
+        assert table_fingerprint(eng.current_state(), STATE_COLS) == fp
+
+    def test_mor_compaction_preserves_state_and_shrinks_files(
+        self, spark, tmp_path, events, oracle_fp
+    ):
+        eng = CdcEngine(spark, str(tmp_path / "mor4"), mode="mor")
+        eng.replay(events, num_batches=4)
+        files_before = len(eng.table.snapshot().files)
+        eng.compact()
+        files_after = len(eng.table.snapshot().files)
+        assert files_after < files_before
+        assert table_fingerprint(eng.current_state(), STATE_COLS) == oracle_fp
+        # rows collapse to one version per key
+        assert eng.table.read().count() == eng.table.read_resolved(
+            keep_deleted=True
+        ).count()

@@ -33,6 +33,7 @@ TRIALS = int(os.environ.get("SCALE_TRIALS", "3"))
 # for N vs 4N executors)
 SHUFFLE = int(os.environ.get("SCALE_SHUFFLE", "64"))
 BATCHES = int(os.environ.get("SCALE_BATCHES", "2"))
+MODE = os.environ.get("SCALE_MODE", "cow")
 REPEAT = int(os.environ.get("SCALE_CONTENT_REPEAT", "20"))
 
 
@@ -59,14 +60,14 @@ def child(cores: int) -> None:
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     wh = tempfile.mkdtemp(prefix=f"scale_{cores}_", dir=shm)
     try:
-        eng = CdcEngine(spark, wh, n_buckets=64)
+        eng = CdcEngine(spark, wh, n_buckets=64, mode=MODE)
         t0 = time.perf_counter()
         eng.replay(ev, num_batches=BATCHES, id_prefix="scale")
         dt = time.perf_counter() - t0
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     print(json.dumps({"cores": cores, "n_events": n, "sec": round(dt, 3),
-                      "events_per_sec": round(n / dt, 1)}))
+                      "mode": MODE, "events_per_sec": round(n / dt, 1)}))
 
 
 def run_child(cores: int) -> dict:
