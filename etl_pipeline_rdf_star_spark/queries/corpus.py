@@ -191,6 +191,24 @@ def q_change_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_change_type_summary_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as change_type_summary but via the two-stage SALTED
+    aggregation (operators/skew.py) — the explicit hot-repo skew path the
+    north rule requires; the oracle proves result equivalence."""
+    from ..operators.skew import salted_agg
+
+    ev = synth.cdc_events(spark, sf_dir)
+    return salted_agg(
+        ev,
+        ["repo"],
+        {
+            "n_insert": F.sum(F.when(F.col("op") == "I", 1).otherwise(0)),
+            "n_update": F.sum(F.when(F.col("op") == "U", 1).otherwise(0)),
+            "n_delete": F.sum(F.when(F.col("op") == "D", 1).otherwise(0)),
+        },
+    )
+
+
 def q_commit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-change detection via lag window (J8 as a window —
     sparql/batch_queries.rq:506-529; SURVEY §2.5)."""
@@ -694,6 +712,15 @@ FROM p GROUP BY lang""",
     ),
     "change_type_summary": QueryEntry(
         q_change_type_summary,
+        f"""
+SELECT repo,
+       sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_insert,
+       sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_update,
+       sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_delete
+FROM {_EVENTS_SQL} e GROUP BY repo""",
+    ),
+    "change_type_summary_salted": QueryEntry(
+        q_change_type_summary_salted,
         f"""
 SELECT repo,
        sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_insert,

@@ -1,0 +1,85 @@
+"""Salted skew handling + SQL serving views."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_rdf_star_spark.data import synth
+from etl_pipeline_rdf_star_spark.operators.skew import (
+    salted_agg,
+    salted_topk_per_key,
+    with_salt,
+)
+
+
+def test_salt_is_deterministic_and_uniformish(spark, sf_dir):
+    ev = synth.cdc_events(spark, sf_dir).limit(2000)
+    a = with_salt(ev, 8).groupBy("_salt").count().collect()
+    b = with_salt(ev, 8).groupBy("_salt").count().collect()
+    assert sorted((r._salt, r["count"]) for r in a) == sorted(
+        (r._salt, r["count"]) for r in b
+    )
+    counts = [r["count"] for r in a]
+    assert len(counts) == 8 and max(counts) < 3 * min(counts)
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    ev = synth.cdc_events(spark, sf_dir)
+    plain = {
+        (r.repo): (r.n, r.mx)
+        for r in ev.groupBy("repo")
+        .agg(F.count("*").alias("n"), F.max("seq").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.repo): (r.n, r.mx)
+        for r in salted_agg(
+            ev, ["repo"], {"n": F.count("*"), "mx": F.max("seq")}
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_topk_equals_plain_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = synth.cdc_events(spark, sf_dir).select("repo", "path", "seq")
+    w = Window.partitionBy("repo").orderBy(F.col("seq").desc())
+    plain = {
+        (r.repo, r.seq)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 3")
+        .collect()
+    }
+    salted = {
+        (r.repo, r.seq)
+        for r in salted_topk_per_key(ev, "repo", "seq", 3).collect()
+    }
+    assert plain == salted
+
+
+def test_sql_serving_views(spark, tmp_path, sf_dir):
+    from etl_pipeline_rdf_star_spark.serving import register_views
+    from etl_pipeline_rdf_star_spark.streaming.cdc import CdcEngine
+
+    eng = CdcEngine(spark, str(tmp_path / "wh"))
+    eng.replay(synth.cdc_events(spark, sf_dir), num_batches=2)
+    names = register_views(spark, eng)
+    assert "rdf_triples" in names
+    n = spark.sql(
+        "SELECT count(*) AS n FROM rdf_triples WHERE predicate LIKE '%lang'"
+    ).collect()[0]["n"]
+    assert n == spark.sql("SELECT count(*) AS n FROM repo_files").collect()[0]["n"]
+    joined = spark.sql(
+        """
+        SELECT a.predicate, count(*) AS n
+        FROM rdf_annotations a
+        JOIN rdf_triples t
+          ON a.quoted.s = t.subject AND a.quoted.p = t.predicate
+         AND a.quoted.o = t.object
+        GROUP BY a.predicate
+        """
+    ).collect()
+    assert len(joined) == 4  # 4 annotation predicates, all quoted facts join
+    assert spark.sql("SELECT * FROM batches").count() == 2
