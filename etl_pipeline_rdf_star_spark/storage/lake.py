@@ -207,10 +207,17 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out)
         )
+        import pyarrow.parquet as pq
+
         files = []
         for fp in glob.glob(os.path.join(out, "_bp=*", "*.parquet")):
             bucket = int(fp.split("_bp=")[1].split(os.sep)[0])
-            files.append({"path": fp, "bucket": bucket, "rows": -1})
+            # footer-only metadata read (driver-side, ~ms per file) — gives
+            # exact per-file row counts without a Spark job, the same trick
+            # Iceberg manifests use
+            files.append(
+                {"path": fp, "bucket": bucket, "rows": pq.read_metadata(fp).num_rows}
+            )
         return files
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:

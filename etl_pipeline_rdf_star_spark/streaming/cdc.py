@@ -254,6 +254,37 @@ class CdcEngine:
         if missing:
             raise ValueError(f"event batch missing columns: {missing}")
         latest = self.dedup_latest(events)  # extra source cols pass through
+
+        if self.mode == "mor":
+            # SINGLE-JOB fast path: no persist, no stats job — ledger
+            # counts ride the write action via Observation, per-bucket
+            # lineage comes from parquet footers the write produced
+            from pyspark.sql import Observation
+
+            obs = Observation(f"batch-{batch_id}")
+            wide = self.materialize_wide(latest).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("d"),
+            )
+            stats = self.table.merge_mor(wide.drop("op"), batch_id)
+            if stats.skipped:
+                n_latest, n_del, per_bucket = 0, 0, []
+            else:
+                got = obs.get
+                n_latest, n_del = got["n"] or 0, got["d"] or 0
+                snap_files = self.table.snapshot().files
+                rows_by_bucket: dict[int, int] = {}
+                for f in snap_files:
+                    if f"c{stats.version:08d}" in f["path"]:
+                        rows_by_bucket[f["bucket"]] = (
+                            rows_by_bucket.get(f["bucket"], 0) + f["rows"]
+                        )
+                per_bucket = [
+                    {"bucket": b, "rows": r} for b, r in sorted(rows_by_bucket.items())
+                ]
+            return self._commit_metadata(batch_id, stats, n_latest, n_del, per_bucket)
+
         # cache the materialized batch: it feeds the count, the MERGE (bucket
         # discovery + survivors + write) and the metrics rollup — without the
         # cache each of those jobs re-scans + re-windows the source events
@@ -278,18 +309,31 @@ class CdcEngine:
         # CDC tombstone rule; Iceberg MoR delete-marker analogue). Reads
         # filter tombstones; purge_tombstones() reclaims them once the
         # event-time watermark guarantees no older event can still arrive.
-        if self.mode == "mor":
-            # merge-on-read: append-only O(batch) commit; reads resolve
-            # latest-per-key; compact() on a cadence (see lake.merge_mor)
-            stats = self.table.merge_mor(wide.drop("op"), batch_id)
-        else:
-            stats = self.table.merge(
-                wide.drop("op"),
-                batch_id,
-                order_col="seq",
-                affected_buckets=[int(r["bucket"]) for r in per_bucket],
-            )
+        stats = self.table.merge(
+            wide.drop("op"),
+            batch_id,
+            order_col="seq",
+            affected_buckets=[int(r["bucket"]) for r in per_bucket],
+        )
+        wide.unpersist()
+        return self._commit_metadata(
+            batch_id,
+            stats,
+            n_latest,
+            n_del,
+            [{"bucket": int(r["bucket"]), "rows": r["rows"]} for r in per_bucket],
+        )
 
+    def _commit_metadata(
+        self,
+        batch_id: str,
+        stats: MergeStats,
+        n_latest: int,
+        n_del: int,
+        per_bucket: list[dict],
+    ) -> BatchResult:
+        """Ledger + per-bucket lineage commit (pyarrow fast path — no Spark
+        jobs), idempotent per batch_id like the data commit."""
         from pyspark.sql.types import (
             BooleanType,
             IntegerType,
@@ -299,7 +343,6 @@ class CdcEngine:
             StructType,
         )
 
-        snap = self.table.snapshot()
         ledger_schema = StructType(
             [
                 StructField("batch_id", StringType()),
@@ -315,7 +358,7 @@ class CdcEngine:
             [
                 {
                     "batch_id": batch_id,
-                    "table_version": snap.version,
+                    "table_version": stats.version,
                     "events": int(n_latest),
                     "upserts": int(n_latest - n_del),
                     "deletes": int(n_del),
@@ -326,7 +369,7 @@ class CdcEngine:
             ledger_schema,
             batch_id,
         )
-        if not stats.skipped:
+        if not stats.skipped and per_bucket:
             metrics_schema = StructType(
                 [
                     StructField("batch_id", StringType()),
@@ -336,16 +379,19 @@ class CdcEngine:
             )
             self.metrics.append_rows(
                 [
-                    {"batch_id": batch_id, "bucket": int(r["bucket"]), "rows": r["rows"]}
+                    {
+                        "batch_id": batch_id,
+                        "bucket": int(r["bucket"]),
+                        "rows": int(r["rows"]),
+                    }
                     for r in per_bucket
                 ],
                 metrics_schema,
                 batch_id,
             )
-        wide.unpersist()
         return BatchResult(
             batch_id=batch_id,
-            events=n_latest,
+            events=int(n_latest),
             upserts=int(n_latest - n_del),
             deletes=int(n_del),
             merge=stats,

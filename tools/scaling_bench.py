@@ -76,8 +76,13 @@ def run_child(cores: int) -> dict:
     if os.path.isdir("/dev/shm"):
         os.makedirs("/dev/shm/spark-local", exist_ok=True)
         env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    # hard-cap the child to exactly `cores` CPUs: a local[N] JVM otherwise
+    # runs GC/JIT/IO threads on extra cores, inflating the low level and
+    # deflating measured scaling efficiency
+    cpu_list = ",".join(str(c) for c in range(cores))
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+        ["taskset", "-c", cpu_list, sys.executable,
+         os.path.abspath(__file__), "--child", str(cores)],
         capture_output=True, text=True, check=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
