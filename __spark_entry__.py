@@ -20,9 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from etl_pipeline_rdf_star_spark.queries.corpus import q_rdf_star_annotations
+    from etl_pipeline_rdf_star_spark.queries.corpus import q_high_confidence_facts
 
-    return q_rdf_star_annotations(spark, "/root/testdata/sf0.001")
+    return q_high_confidence_facts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -154,6 +154,30 @@ SELECT reifier, q_s, q_p, q_o, 'http://example.org/lang', lang FROM r
 """
 
 
+def q_high_confidence_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship serving query (J4 BGP self-join): asserted facts joined
+    to their RDF-star annotations through the quoted triple, filtered on
+    annotation value — the SPARQL-star pattern
+    ``?s ex:lang ?l . <<?s ex:lang ?l>> ex:confidence ?c . FILTER(?c>0.5)``
+    (reference tests/test_postman_queries.py:175-195)."""
+    triples, anns = _materialized(spark, sf_dir)
+    facts = triples.where(
+        F.col("predicate") == "http://example.org/lang"
+    ).select("subject", F.col("object").alias("lang_value"))
+    conf = anns.where(
+        F.col("predicate") == "http://example.org/confidence"
+    ).select(
+        F.col("quoted.s").alias("subject"),
+        F.col("quoted.o").alias("lang_value"),
+        F.col("object").cast("double").alias("confidence"),
+    )
+    return (
+        facts.join(conf, on=["subject", "lang_value"])
+        .where(F.col("confidence") > 0.5)
+        .select("subject", "lang_value", "confidence")
+    )
+
+
 def q_triples_per_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY predicate COUNT (A3; sparql/batch_queries.rq:599-609)."""
     triples, _ = _materialized(spark, sf_dir)
@@ -687,6 +711,16 @@ QUERIES: dict[str, QueryEntry] = {
     ),
     "rdf_asserted_triples": QueryEntry(q_rdf_asserted_triples, _ASSERTED_SQL),
     "rdf_star_annotations": QueryEntry(q_rdf_star_annotations, _ANNOT_SQL),
+    "high_confidence_facts": QueryEntry(
+        q_high_confidence_facts,
+        f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f)
+SELECT {_SUBJ} AS subject, lang AS lang_value,
+       CAST(CAST(round((length(content) % 100) / 100.0, 2) AS DECIMAL(5,2)) AS DOUBLE)
+         AS confidence
+FROM final
+WHERE round((length(content) % 100) / 100.0, 2) > 0.5""",
+    ),
     "triples_per_predicate": QueryEntry(
         q_triples_per_predicate,
         f"SELECT predicate, count(*) AS n_triples FROM ({_ASSERTED_SQL}) t"

@@ -456,6 +456,7 @@ class CdcEngine:
         checkpoint_dir: str,
         max_files_per_trigger: int = 1,
         await_termination: bool = True,
+        watermark: str | None = None,
     ):
         """Structured Streaming shell: tail an events directory (parquet
         files appended in seq order — the sandbox stand-in for a binlog/WAL
@@ -471,6 +472,13 @@ class CdcEngine:
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(events_dir)
         )
+        if watermark is not None:
+            # event-time watermark + stateful dedup bounds the re-delivery
+            # window upstream of foreachBatch; events later than the
+            # watermark still converge via the MERGE order-guard/MoR
+            # resolution (late data handled by commit ordering, §2.9)
+            stream = stream.withWatermark("event_ts", watermark)
+            stream = stream.dropDuplicatesWithinWatermark(["repo", "path", "seq"])
 
         def _sink(df: DataFrame, epoch_id: int) -> None:
             self.apply_batch(df, f"stream-{epoch_id:08d}")

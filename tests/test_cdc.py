@@ -215,3 +215,15 @@ class TestMorMode:
         assert eng.table.read().count() == eng.table.read_resolved(
             keep_deleted=True
         ).count()
+
+
+def test_streaming_with_watermark_dedup(spark, tmp_path, events, sf_dir, oracle_fp):
+    """Watermark + stateful dedup upstream of foreachBatch: duplicated
+    event files still converge to the oracle state."""
+    ev_dir = str(tmp_path / "wm_events")
+    ckpt = str(tmp_path / "wm_ckpt")
+    events.coalesce(1).write.mode("append").parquet(ev_dir)
+    events.coalesce(1).write.mode("append").parquet(ev_dir)  # full duplicate
+    eng = CdcEngine(spark, str(tmp_path / "wm_wh"), mode="mor")
+    eng.run_stream(ev_dir, ckpt, max_files_per_trigger=1, watermark="10 minutes")
+    assert table_fingerprint(eng.current_state(), STATE_COLS) == oracle_fp
