@@ -158,10 +158,15 @@ class CdcEngine:
         asserted_tm: str = "file",
         annotation_tm: str | None = "provenance",
         mode: str = "cow",
+        auto_compact_deltas: int | None = None,
     ):
         if mode not in {"cow", "mor"}:
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.mode = mode
+        # MoR maintenance cadence: compact when the snapshot accumulates
+        # more than this many data files per bucket on average (read
+        # amplification bound). None = manual compact() only.
+        self.auto_compact_deltas = auto_compact_deltas
         self.spark = spark
         self.warehouse = warehouse
         self.ir = ir or flagship_ir()
@@ -283,7 +288,17 @@ class CdcEngine:
                 per_bucket = [
                     {"bucket": b, "rows": r} for b, r in sorted(rows_by_bucket.items())
                 ]
-            return self._commit_metadata(batch_id, stats, n_latest, n_del, per_bucket)
+            result = self._commit_metadata(
+                batch_id, stats, n_latest, n_del, per_bucket
+            )
+            if (
+                self.auto_compact_deltas is not None
+                and not stats.skipped
+                and len(self.table.snapshot().files)
+                > self.auto_compact_deltas * self.table.n_buckets
+            ):
+                self.table.compact()
+            return result
 
         # cache the materialized batch: it feeds the count, the MERGE (bucket
         # discovery + survivors + write) and the metrics rollup — without the

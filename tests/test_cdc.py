@@ -227,3 +227,16 @@ def test_streaming_with_watermark_dedup(spark, tmp_path, events, sf_dir, oracle_
     eng = CdcEngine(spark, str(tmp_path / "wm_wh"), mode="mor")
     eng.run_stream(ev_dir, ckpt, max_files_per_trigger=1, watermark="10 minutes")
     assert table_fingerprint(eng.current_state(), STATE_COLS) == oracle_fp
+
+
+def test_mor_auto_compaction(spark, tmp_path, events, oracle_fp):
+    eng = CdcEngine(
+        spark, str(tmp_path / "mor5"), mode="mor", auto_compact_deltas=2
+    )
+    eng.replay(events, num_batches=6)
+    # compaction fired at least once: snapshot ops include 'compact'
+    ops = {eng.table.snapshot(v).operation for v in eng.table.versions()}
+    assert "compact" in ops
+    # bounded read amplification: files <= threshold * buckets (+1 batch)
+    assert len(eng.table.snapshot().files) <= 3 * eng.table.n_buckets
+    assert table_fingerprint(eng.current_state(), STATE_COLS) == oracle_fp
