@@ -318,6 +318,8 @@ def compile_asserted_patterns(
                     for obj in po.objects:
                         if obj.mapping_ref is not None:
                             continue  # handled by materializer join (J3)
+                        if obj.quoted_ref is not None:
+                            continue  # quoted-object: materializer join (J1)
                         patterns.append(
                             CompiledTriplePattern(
                                 tm_name=tm_name,

@@ -51,6 +51,9 @@ class ObjectSpec:
     language: str | None = None  # fixed tag or a $(col) reference template
     mapping_ref: str | None = None  # o.mapping → parent triples map (J3)
     join_condition: tuple[str, str] | None = None  # (child_col, parent_col)
+    quoted_ref: str | None = None  # o.quoted → quoted triples map (RDF-star
+    # object position, YARRRML spec ex. 110/114); non-asserted when flagged
+    quoted_non_asserted: bool = False
     function: str | None = None  # YARRRML function name (executed — §2.8)
     fn_args: tuple[str, ...] = ()  # positional arg templates
 

@@ -188,6 +188,28 @@ def _parse_object(raw: Any, external: dict[str, str]) -> list[ObjectSpec]:
         if isinstance(obj, str):
             value, kind, _ = _split_value_suffix(_expand_external(obj, external))
             out.append(ObjectSpec(value=value, kind=kind or "literal"))
+        elif isinstance(obj, list):
+            # object shorthand: [value] | [value, datatype] | [value, ll~lang]
+            if not obj:
+                raise YarrrmlParseError("empty object shorthand list")
+            value, kind, _ = _split_value_suffix(
+                _expand_external(str(obj[0]), external)
+            )
+            datatype = language = None
+            if len(obj) > 1:
+                second = str(obj[1])
+                if second.endswith("~lang"):
+                    language = second[: -len("~lang")]
+                else:
+                    datatype = second
+            out.append(
+                ObjectSpec(
+                    value=value,
+                    kind=kind or "literal",
+                    datatype=datatype,
+                    language=language,
+                )
+            )
         elif isinstance(obj, dict):
             if "mapping" in obj:
                 cond = _parse_condition(obj.get("condition"))
@@ -203,6 +225,17 @@ def _parse_object(raw: Any, external: dict[str, str]) -> list[ObjectSpec]:
                         kind="iri",
                         mapping_ref=str(obj["mapping"]),
                         join_condition=join_cond,
+                    )
+                )
+                continue
+            if "quoted" in obj or "quotedNonAsserted" in obj:
+                # RDF-star quoted triple in object position (spec ex. 110/114)
+                name = str(obj.get("quoted", obj.get("quotedNonAsserted")))
+                out.append(
+                    ObjectSpec(
+                        kind="quoted",
+                        quoted_ref=name,
+                        quoted_non_asserted="quotedNonAsserted" in obj,
                     )
                 )
                 continue
@@ -304,6 +337,32 @@ def _parse_po(raw: Any, external: dict[str, str]) -> PredicateObjectSpec:
     raise YarrrmlParseError(f"unsupported predicate-object: {raw!r}")
 
 
+def _parse_target(v: Any) -> dict[str, str]:
+    """One ``targets:`` entry — long dict form, or the spec shortcut list
+    ``[access~type, serialization, compression]`` / bare string
+    (YARRRML spec §targets; crashes in round 1 came from the list form)."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return {str(kk): str(vv) for kk, vv in v.items()}
+    if isinstance(v, str):
+        v = [v]
+    if isinstance(v, list):
+        out: dict[str, str] = {}
+        if v:
+            access = str(v[0])
+            if "~" in access:
+                access, t = access.rsplit("~", 1)
+                out["type"] = t
+            out["access"] = access
+        if len(v) > 1:
+            out["serialization"] = str(v[1])
+        if len(v) > 2:
+            out["compression"] = str(v[2])
+        return out
+    raise YarrrmlParseError(f"unsupported target spec: {v!r}")
+
+
 def _parse_subject(raw: Any, external: dict[str, str]) -> SubjectSpec:
     templates: list[str] = []
     quoted: QuotedJoin | None = None
@@ -317,6 +376,9 @@ def _parse_subject(raw: Any, external: dict[str, str]) -> SubjectSpec:
             quoted = QuotedJoin(
                 quoted_map=m.group(1), child_key=m.group(2), parent_key=m.group(3)
             )
+        elif isinstance(s, dict) and "value" in s:
+            # long subject form: {value: template, targets: ...} (spec §subjects)
+            templates.append(_expand_external(str(s["value"]), external))
         elif isinstance(s, dict) and "quoted" in s:
             cond = _parse_condition(s.get("condition"))
             params = cond.parameters if cond else {}
@@ -365,8 +427,7 @@ def parse_document(doc: dict[str, Any] | str) -> MappingDocumentIR:
         )
 
     targets = {
-        str(k): {kk: str(vv) for kk, vv in (v or {}).items()}
-        for k, v in (doc.get("targets") or {}).items()
+        str(k): _parse_target(v) for k, v in (doc.get("targets") or {}).items()
     }
 
     triples_maps: dict[str, TriplesMapIR] = {}
@@ -420,6 +481,10 @@ def _validate(ir: MappingDocumentIR) -> None:
                 if obj.mapping_ref and obj.mapping_ref not in ir.triples_maps:
                     raise YarrrmlParseError(
                         f"{tm.name}: object mapping ref {obj.mapping_ref!r} unknown"
+                    )
+                if obj.quoted_ref and obj.quoted_ref not in ir.triples_maps:
+                    raise YarrrmlParseError(
+                        f"{tm.name}: quoted object ref {obj.quoted_ref!r} unknown"
                     )
 
 

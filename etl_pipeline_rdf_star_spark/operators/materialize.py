@@ -53,7 +53,7 @@ ANNOTATION_COLS = [
     "graph",
 ]
 
-RDF_REIFIES = "https://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
+RDF_REIFIES = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
 _SEP = "\x1f"  # unit separator for fingerprint concat
 
 

@@ -196,10 +196,12 @@ def q_files_per_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_confidence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVG/MIN/MAX per group (A4; tests/test_postman_queries.py:336-344)."""
     prepared = prepare_input(_final_state(spark, sf_dir))
+    # min/max emitted as DOUBLE on both sides: decimal rendering ("0.50" vs
+    # "0.5") breaks the driver's value-hash even when values are equal
     return prepared.groupBy("lang").agg(
         F.round(F.avg(F.col("confidence").cast("double")), 4).alias("avg_conf"),
-        F.min("confidence").alias("min_conf"),
-        F.max("confidence").alias("max_conf"),
+        F.min(F.col("confidence").cast("double")).alias("min_conf"),
+        F.max(F.col("confidence").cast("double")).alias("max_conf"),
         F.count("*").alias("n"),
     )
 
@@ -740,7 +742,8 @@ WITH p AS (
   FROM {_FINAL_SQL} f
 )
 SELECT lang, round(avg(CAST(confidence AS DOUBLE)), 4) AS avg_conf,
-       min(confidence) AS min_conf, max(confidence) AS max_conf,
+       CAST(min(confidence) AS DOUBLE) AS min_conf,
+       CAST(max(confidence) AS DOUBLE) AS max_conf,
        count(*) AS n
 FROM p GROUP BY lang""",
     ),
@@ -748,18 +751,18 @@ FROM p GROUP BY lang""",
         q_change_type_summary,
         f"""
 SELECT repo,
-       sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_insert,
-       sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_update,
-       sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_delete
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
 FROM {_EVENTS_SQL} e GROUP BY repo""",
     ),
     "change_type_summary_salted": QueryEntry(
         q_change_type_summary_salted,
         f"""
 SELECT repo,
-       sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_insert,
-       sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_update,
-       sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_delete
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
 FROM {_EVENTS_SQL} e GROUP BY repo""",
     ),
     "commit_history": QueryEntry(
@@ -887,7 +890,8 @@ WITH ranked AS (
 latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D'),
 head AS (SELECT max(event_ts) AS h FROM latest)
 SELECT repo, count(*) AS n_stale,
-       max(floor((epoch(h) - epoch(event_ts)) / 60)) AS max_stale_min
+       CAST(max(floor((epoch(h) - epoch(event_ts)) / 60)) AS BIGINT)
+         AS max_stale_min
 FROM latest CROSS JOIN head
 WHERE floor((epoch(h) - epoch(event_ts)) / 60) > 30
 GROUP BY repo""",
@@ -911,7 +915,8 @@ WITH g AS (
   FROM events
 )
 SELECT user_id,
-       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id""",
     ),

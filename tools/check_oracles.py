@@ -72,13 +72,39 @@ def main() -> int:
         d_rows = d.fetchall()
         ok_cols = sorted(s_cols) == sorted(d_cols)
         ok_rows = len(s_rows) == len(d_rows)
+        # strict TYPE parity: the driver's normalization is stricter than
+        # ours (round-1 lesson: HUGEINT/DECIMAL/DOUBLE render differently
+        # even when values are equal) — require matching type families
+        _FAM = {
+            "BIGINT": "int", "INTEGER": "int", "SMALLINT": "int",
+            "TINYINT": "int", "UBIGINT": "int", "HUGEINT": "hugeint",
+            "DOUBLE": "float", "FLOAT": "float", "VARCHAR": "str",
+            "BOOLEAN": "bool", "DATE": "date", "TIMESTAMP": "ts",
+            "TIMESTAMP_NS": "ts",
+        }
+        _SFAM = {
+            "bigint": "int", "int": "int", "smallint": "int",
+            "tinyint": "int", "double": "float", "float": "float",
+            "string": "str", "boolean": "bool", "date": "date",
+            "timestamp": "ts", "timestamp_ntz": "ts",
+        }
+        s_types = dict(sdf.dtypes)
+        bad_types = []
+        for c, t in zip(d_cols, [str(t) for t in d.types]):
+            fam_d = _FAM.get(t.split("(")[0], t)
+            fam_s = _SFAM.get(s_types.get(c, "?"), s_types.get(c, "?"))
+            if c in s_types and fam_d != fam_s:
+                bad_types.append(f"{c}: duck={t} spark={s_types[c]}")
+        ok_types = not bad_types
         ok_hash = frame_hash(
             [[r[c] for c in s_cols] for r in s_rows], s_cols
         ) == frame_hash(d_rows, d_cols)
-        status = "OK" if (ok_cols and ok_rows and ok_hash) else "FAIL"
+        status = "OK" if (ok_cols and ok_rows and ok_hash and ok_types) else "FAIL"
         print(
             f"{name:28s} {status}  spark={len(s_rows)} duck={len(d_rows)} "
-            f"cols={'=' if ok_cols else f'{s_cols} vs {d_cols}'} hash={'=' if ok_hash else '!'}"
+            f"cols={'=' if ok_cols else f'{s_cols} vs {d_cols}'} "
+            f"hash={'=' if ok_hash else '!'} "
+            f"types={'=' if ok_types else bad_types}"
         )
         if status == "FAIL":
             failures.append(name)
