@@ -45,7 +45,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    mult = int(os.environ.get("BENCH_EVENT_MULT", "1"))
+    # MoR (the sustained-ingest path) is benched on a mult× event log so the
+    # headline measures throughput, not per-batch scheduling overhead
+    # (round-1 finding: at 60k events fixed cost dominates — ~6 s for 4
+    # micro-batch commits regardless of batch size)
+    mult = int(os.environ.get("BENCH_EVENT_MULT", "8"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 16))
@@ -57,10 +61,8 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # -- CDC replay (the north-star metric) --------------------------------
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    p = synth.scale_params(n_docs)
-    n_files, n_events = p.n_files * mult, p.n_events * mult
-    events = synth.cdc_events(spark, sf_dir, n_files=n_files, n_events=n_events)
+    p = synth.scale_params(synth.n_docs(sf_dir))
+    events = synth.cdc_events(spark, sf_dir)
     events = events.repartition(max(cpus, 16)).cache()
     n_ev = events.count()  # materialize cache outside the timed window
 
@@ -74,24 +76,39 @@ def main() -> None:
         events_per_sec = n_ev / replay_s
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+    events.unpersist()
 
     # merge-on-read ingest mode (sustained-throughput path) + compaction
+    n_files_mor, n_events_mor = p.n_files * mult, p.n_events * mult
+    events_mor = synth.cdc_events(
+        spark, sf_dir, n_files=n_files_mor, n_events=n_events_mor
+    ).repartition(2 * max(cpus, 16)).cache()
+    n_ev_mor = events_mor.count()
     wh2 = tempfile.mkdtemp(prefix="bench_mor_")
     try:
         eng2 = CdcEngine(spark, wh2, n_buckets=max(cpus, 16), mode="mor")
         t0 = time.perf_counter()
-        eng2.replay(events, num_batches=4, id_prefix="bench")
+        eng2.replay(events_mor, num_batches=4, id_prefix="bench")
         mor_s = time.perf_counter() - t0
         timings["cdc_replay_mor"] = round(mor_s, 3)
         t0 = time.perf_counter()
         eng2.compact()
         timings["mor_compact"] = round(time.perf_counter() - t0, 3)
-        mor_events_per_sec = n_ev / mor_s
+        mor_events_per_sec = n_ev_mor / mor_s
     finally:
         shutil.rmtree(wh2, ignore_errors=True)
-    events.unpersist()
+    events_mor.unpersist()
 
     # -- corpus queries ----------------------------------------------------
+    # the serving warehouse (CDC-materialized lake the RDF corpus reads) is
+    # built once, like the reference pre-loading its store; timed separately
+    # so per-query numbers measure serving scans, not ingest
+    from etl_pipeline_rdf_star_spark.queries.corpus import serving_warehouse
+
+    t0 = time.perf_counter()
+    serving_warehouse(spark, sf_dir)
+    timings["serving_build"] = round(time.perf_counter() - t0, 3)
+
     for name in HEADLINE:
         fn = QUERIES[name].fn
         t0 = time.perf_counter()
@@ -111,6 +128,7 @@ def main() -> None:
                 "events_per_sec": round(events_per_sec, 1),
                 "events_per_sec_mor": round(mor_events_per_sec, 1),
                 "n_events": n_ev,
+                "n_events_mor": n_ev_mor,
                 "cpus": cpus,
             }
         )

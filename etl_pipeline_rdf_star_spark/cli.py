@@ -120,29 +120,54 @@ def cmd_diff(args) -> None:
 
 
 def cmd_export(args) -> None:
+    """Export (reference batch_cli.py:216-242 / batch_manager.py:607-639):
+
+    * ``parquet``  — relational dump of state or triples
+    * ``nquads``   — strict W3C N-Quads 1.1 of the asserted triples plus
+      annotation quads (blank reifier subjects); the rdf:reifies link is
+      RDF-star-only and therefore omitted here
+    * ``trig``     — TriG of the asserted triples plus TriG-star
+      annotation statements (``<< s p o >> pred obj .``), mirroring the
+      reference's TriG-star serializer (rdf_star_etl_yarrrml.py:611-648)
+    """
     from .streaming.cdc import CdcEngine
 
     spark = _spark(args.cores)
     eng = CdcEngine(spark, args.warehouse)
-    df = eng.triples_view() if args.what == "triples" else eng.current_state()
     if args.fmt == "parquet":
+        df = eng.triples_view() if args.what == "triples" else eng.current_state()
         df.write.mode("overwrite").parquet(args.out)
-    else:  # nt-ish line text for debugging
+        n = df.count()
+    else:
         from pyspark.sql import functions as F
 
-        (
-            df.select(
-                F.concat_ws(
-                    " ",
-                    F.concat(F.lit("<"), "subject", F.lit(">")),
-                    F.concat(F.lit("<"), "predicate", F.lit(">")),
-                    F.concat(F.lit('"'), "object", F.lit('" .')),
-                ).alias("value")
-            ).write.mode("overwrite").text(args.out)
-            if args.what == "triples"
-            else df.write.mode("overwrite").json(args.out)
+        from .sinks.rdf_text import (
+            nquads_lines,
+            trig_lines,
+            trig_star_annotation_lines,
         )
-    print(json.dumps({"exported": args.what, "to": args.out, "rows": df.count()}))
+
+        triples = eng.triples_view()
+        anns = eng.annotations_view()
+        if args.fmt == "nquads":
+            ann_quads = anns.select(
+                F.col("reifier").alias("subject"),
+                F.lit("blank").alias("subject_kind"),
+                "predicate",
+                "object",
+                "object_datatype",
+                "object_lang",
+                "object_kind",
+                "graph",
+            )
+            lines = nquads_lines(triples).unionByName(nquads_lines(ann_quads))
+        else:  # trig (+star)
+            lines = trig_lines(triples).unionByName(
+                trig_star_annotation_lines(anns)
+            )
+        lines.write.mode("overwrite").text(args.out)
+        n = lines.count()
+    print(json.dumps({"exported": args.what, "to": args.out, "rows": n}))
 
 
 def cmd_provenance(args) -> None:
@@ -209,7 +234,9 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("export")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--what", choices=["state", "triples"], default="triples")
-    p.add_argument("--fmt", choices=["parquet", "text"], default="parquet")
+    p.add_argument(
+        "--fmt", choices=["parquet", "nquads", "trig"], default="parquet"
+    )
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_export)
 

@@ -61,6 +61,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_DOCS_CACHE: dict[str, int] = {}
+
+
+def n_docs(sf_dir: str) -> int:
+    """Row count of the documents table from parquet footer metadata —
+    driver-side, no Spark job (query builders must stay lazy)."""
+    if sf_dir not in _N_DOCS_CACHE:
+        import pyarrow.dataset as ds
+
+        _N_DOCS_CACHE[sf_dir] = ds.dataset(f"{sf_dir}/documents.parquet").count_rows()
+    return _N_DOCS_CACHE[sf_dir]
+
+
 def cdc_events(
     spark: SparkSession,
     sf_dir: str,
@@ -76,8 +89,8 @@ def cdc_events(
     join is broadcast (documents is the small dimension at every sf).
     """
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
-    p = scale_params(n_docs)
+    nd = n_docs(sf_dir)
+    p = scale_params(nd)
     nf = n_files or p.n_files
     ne = n_events or p.n_events
 
@@ -86,7 +99,7 @@ def cdc_events(
         (F.col("id") % nf).alias("file_id"),
         (F.col("id") / nf).cast("long").alias("ver"),
     )
-    ev = ev.withColumn("doc_id", F.col("file_id") % n_docs)
+    ev = ev.withColumn("doc_id", F.col("file_id") % nd)
     ev = ev.join(F.broadcast(docs), on="doc_id", how="inner")
     repo_num = F.when(F.col("file_id") % 5 == 0, F.lit(0)).otherwise(
         F.col("file_id") % 37
@@ -142,9 +155,7 @@ def repo_files(
 ) -> DataFrame:
     """The initial ``repo_files`` snapshot: version-0 insert of every file —
     exactly the rows of the event log with ``ver = 0``."""
-    docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
-    nf = n_files or scale_params(n_docs).n_files
+    nf = n_files or scale_params(n_docs(sf_dir)).n_files
     return cdc_events(spark, sf_dir, n_files=nf, n_events=nf).select(
         "repo", "path", "commit", "lang", "content"
     )

@@ -116,16 +116,68 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+    """n-gram Jaccard similarity pairs ≥ threshold (Jaccard always computed
+    over the FULL shingle sets of each candidate pair).
 
-    Without ``candidates``: inverted-index self-join on shingles (cost =
-    sum over shingles of df². With ``candidates`` (e.g. LSH output): verify
-    only those pairs."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_shingles(text_col, k)).alias("sh"),
+    Candidate generation, in order of scale-safety:
+
+    * ``candidates`` given (e.g. LSH output) — verify only those pairs;
+      no shingle self-join at all.
+    * ``max_doc_freq`` set — inverted-index self-join over RARE shingles
+      only (document frequency ≤ cap). A stop-shingle shared by 10^6 docs
+      would make the plain self-join quadratic (round-1 VERDICT item 7);
+      the cap bounds the join to ≤ |shingles|·cap² pairs. A pair is missed
+      only if EVERY shared shingle is hot — run exact dedup first so
+      mass-duplicated texts don't rely on hot shingles.
+    * neither — the exact all-shingle self-join (oracle baseline; fine at
+      test scale, not the 100 TB path).
+    """
+    sets = df.select(
+        F.col(id_col).alias("doc_id"), _shingles(text_col, k).alias("shs")
     )
+
+    if candidates is None and max_doc_freq is not None:
+        sh = sets.select("doc_id", F.explode("shs").alias("sh"))
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("dfc"))
+            .where(F.col("dfc") > max_doc_freq)
+            .select("sh")
+        )
+        rare = sh.join(F.broadcast(hot), "sh", "left_anti")
+        a, b = rare.alias("a"), rare.alias("b")
+        candidates = (
+            a.join(b, on="sh")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+
+    if candidates is not None:
+        # pairwise verify on full sets: two broadcast-able dimension joins +
+        # array_intersect — no inverted-index join in the verify stage
+        sa = sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+        )
+        sb = sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+        )
+        paired = candidates.join(sa, "doc_a").join(sb, "doc_b")
+        n_common = F.size(F.array_intersect("shs_a", "shs_b"))
+        jac = F.round(
+            n_common / (F.size("shs_a") + F.size("shs_b") - n_common), 6
+        )
+        return (
+            paired.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+    sh = sets.select("doc_id", F.explode("shs").alias("sh"))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -136,8 +188,6 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_common"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (

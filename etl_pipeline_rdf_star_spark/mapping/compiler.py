@@ -285,6 +285,8 @@ class CompiledTriplePattern:
     obj_lang: Column
     graph: Column
     row_filter: Column | None
+    obj_kind: str = "literal"  # iri | literal | blank — known at compile
+    # time; carried through so serializers never guess term kinds
 
 
 def compile_asserted_patterns(
@@ -330,6 +332,7 @@ def compile_asserted_patterns(
                                 obj_lang=language_column(obj),
                                 graph=graph_col,
                                 row_filter=row_filter,
+                                obj_kind=obj.kind,
                             )
                         )
                 for ipred in po.inverse_predicates:
@@ -348,6 +351,7 @@ def compile_asserted_patterns(
                                 obj_lang=F.lit(None).cast("string"),
                                 graph=graph_col,
                                 row_filter=row_filter,
+                                obj_kind="iri",  # inverse object = subject IRI
                             )
                         )
     return patterns

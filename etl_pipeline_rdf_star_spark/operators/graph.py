@@ -62,6 +62,88 @@ def neighbors(
     return out.unionByName(inc)
 
 
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def class_properties(triples: DataFrame) -> DataFrame:
+    """Per class: which predicates its instances use and how widely —
+    the class-explorer 'properties of class' panel
+    (rdf-workbench.py:779-860). One self-join on subject + hash agg."""
+    types = triples.where(F.col("predicate") == RDF_TYPE).select(
+        "subject", F.col("object").alias("cls")
+    )
+    return (
+        types.join(triples, "subject")
+        .groupBy("cls", "predicate")
+        .agg(
+            F.countDistinct("subject").alias("n_subjects"),
+            F.count("*").alias("n_uses"),
+        )
+    )
+
+
+def class_individuals(
+    triples: DataFrame,
+    class_iri: str,
+    label_predicate: str = "http://purl.org/dc/terms/identifier",
+    limit: int = 20,
+) -> DataFrame:
+    """Instances of a class with their label value, first ``limit`` by IRI —
+    the 'individuals of class' panel (rdf-workbench.py:862-930)."""
+    inst = triples.where(
+        (F.col("predicate") == RDF_TYPE) & (F.col("object") == class_iri)
+    ).select("subject")
+    labels = triples.where(F.col("predicate") == label_predicate).select(
+        "subject", F.col("object").alias("label")
+    )
+    return (
+        inst.join(labels, "subject", "left")
+        .orderBy("subject")
+        .limit(limit)
+    )
+
+
+def node_neighbor_union(
+    triples: DataFrame,
+    annotations: DataFrame | None,
+    focus: DataFrame,
+) -> DataFrame:
+    """The explorer's multi-way neighbor union for one focus node
+    (rdf-workbench.py:720-777): outgoing edges ∪ incoming edges ∪ RDF-star
+    annotation edges on the node's quoted facts. ``focus`` is a 1-row
+    DataFrame with column ``focus`` (broadcast), so the node can be
+    computed lazily (e.g. min subject) without an eager collect."""
+    out = triples.select(
+        F.lit("out").alias("direction"),
+        "subject",
+        "predicate",
+        F.col("object").alias("node"),
+    )
+    inc = triples.select(
+        F.lit("in").alias("direction"),
+        F.col("object").alias("subject"),
+        "predicate",
+        F.col("subject").alias("node"),
+    )
+    parts = [out, inc]
+    if annotations is not None:
+        parts.append(
+            annotations.select(
+                F.lit("ann").alias("direction"),
+                F.col("quoted.s").alias("subject"),
+                "predicate",
+                F.col("object").alias("node"),
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return (
+        union.join(F.broadcast(focus), union["subject"] == focus["focus"])
+        .select("direction", "predicate", "node")
+    )
+
+
 def subclass_closure(
     triples: DataFrame,
     subclass_pred: str = "http://www.w3.org/2000/01/rdf-schema#subClassOf",

@@ -39,6 +39,7 @@ TRIPLE_COLS = [
     "object",
     "object_datatype",
     "object_lang",
+    "object_kind",  # iri | literal | blank — compile-time term kind
     "graph",
 ]
 
@@ -50,6 +51,7 @@ ANNOTATION_COLS = [
     "object",
     "object_datatype",
     "object_lang",
+    "object_kind",
     "graph",
 ]
 
@@ -65,12 +67,14 @@ def _pattern_struct(p: CompiledTriplePattern) -> F.Column:
         p.obj.cast("string").alias("object"),
         p.obj_datatype.cast("string").alias("object_datatype"),
         p.obj_lang.cast("string").alias("object_lang"),
+        F.lit(p.obj_kind).alias("object_kind"),
         p.graph.cast("string").alias("graph"),
     )
     if p.row_filter is not None:
         null_struct = F.lit(None).cast(
             "struct<tm:string,subject:string,predicate:string,object:string,"
-            "object_datatype:string,object_lang:string,graph:string>"
+            "object_datatype:string,object_lang:string,object_kind:string,"
+            "graph:string>"
         )
         return F.when(p.row_filter, s).otherwise(null_struct)
     return s
@@ -147,6 +151,7 @@ def materialize_mapping_refs(
                         F.col("_parent_subject").alias("object"),
                         F.lit(None).cast("string").alias("object_datatype"),
                         F.lit(None).cast("string").alias("object_lang"),
+                        F.lit("iri").alias("object_kind"),
                         F.lit(None).cast("string").alias("graph"),
                     )
                 )
@@ -274,6 +279,7 @@ def materialize_annotations(
         F.col("object"),
         F.col("object_datatype"),
         F.col("object_lang"),
+        F.col("object_kind"),
         F.col("graph"),
     )
 

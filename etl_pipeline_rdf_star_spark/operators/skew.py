@@ -19,6 +19,8 @@ decomposed to sum+count by the caller.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -31,43 +33,56 @@ def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> Data
     )
 
 
+_REFOLDS: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,  # also correct for count partials (counts re-fold by sum)
+    "min": F.min,
+    "max": F.max,
+}
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, Column | tuple[Column, str | Callable[[str], Column]]],
     n_salts: int = 16,
 ) -> DataFrame:
-    """Two-stage skew-safe aggregation.
+    """Two-stage skew-safe aggregation with an EXPLICIT re-fold per column.
 
-    ``aggs`` maps output-column name → *partial* aggregate expression (must
-    be re-aggregable: count→sum, sum→sum, min→min, max→max).
+    ``aggs`` maps output-column name → either
+
+    * ``(partial_expr, refold)`` where ``refold`` is ``"sum" | "min" | "max"``
+      or any callable ``col_name -> Column`` for exotic merges, or
+    * a bare partial ``Column`` — re-folded with ``sum``, which is correct
+      ONLY for ``count``/``sum`` partials. ``min``/``max`` partials must
+      pass the tuple form; non-algebraic aggregates (``countDistinct``,
+      ``avg``) are NOT salted-safe as a single expression — decompose them
+      (distinct-project first / sum+count) before salting.
 
     Example::
 
-        salted_agg(ev, ["repo"], {"n": F.count("*"), "mx": F.max("seq")})
+        salted_agg(ev, ["repo"],
+                   {"n": F.count("*"), "mx": (F.max("seq"), "max")})
+
+    (The round-1 implementation inferred the re-fold by string-sniffing the
+    private ``_jc`` JVM expression — wrong for countDistinct and unavailable
+    under Spark Connect; the explicit map replaces it.)
     """
+    parts: dict[str, Column] = {}
+    refolds: dict[str, Callable[[str], Column]] = {}
+    for name, spec in aggs.items():
+        if isinstance(spec, tuple):
+            expr, rf = spec
+            refolds[name] = _REFOLDS[rf] if isinstance(rf, str) else rf
+        else:
+            expr, refolds[name] = spec, F.sum
+        parts[name] = expr
+
     salted = with_salt(df, n_salts)
     partial = salted.groupBy(*keys, "_salt").agg(
-        *[c.alias(f"__p_{name}") for name, c in aggs.items()]
+        *[c.alias(f"__p_{name}") for name, c in parts.items()]
     )
-    refold = {
-        "count": F.sum,  # counts re-fold by summing
-        "sum": F.sum,
-        "min": F.min,
-        "max": F.max,
-    }
-
-    def final_col(name: str, partial_expr: Column) -> Column:
-        # infer refold from the partial expression's name; callers needing
-        # exotic re-folds pass them via salted_agg_custom
-        expr_str = partial_expr._jc.toString().lower()
-        for k, fn in refold.items():
-            if expr_str.startswith(k):
-                return fn(f"__p_{name}").alias(name)
-        return F.sum(f"__p_{name}").alias(name)
-
     return partial.groupBy(*keys).agg(
-        *[final_col(name, c) for name, c in aggs.items()]
+        *[refolds[name](f"__p_{name}").alias(name) for name in parts]
     )
 
 

@@ -8,13 +8,24 @@ After ``register_views``::
     spark.sql("SELECT subject, object FROM rdf_triples WHERE predicate LIKE '%lang'")
     spark.sql("SELECT * FROM rdf_annotations WHERE quoted.s = '...'")
     spark.sql("SELECT * FROM batches ORDER BY table_version")
+
+``to_sparql_json`` renders any bounded result in the W3C SPARQL 1.1
+Query Results JSON Format, mirroring the reference's binding conversion
+(fastapi_sparql_server.py:242-338) so an HTTP shim could serve byte-
+compatible responses.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
 
 from .streaming.cdc import CdcEngine
+
+_BNODE_RE = re.compile(r"^b[0-9a-f]{64}$")
+_IRI_RE = re.compile(r"^(https?|urn|file|ftp):")
 
 
 def register_views(
@@ -27,9 +38,82 @@ def register_views(
         f"{prefix}rdf_files_wide": engine.live_rows(),
         f"{prefix}rdf_triples": engine.triples_view(),
         f"{prefix}rdf_annotations": engine.annotations_view(),
-        f"{prefix}batches": engine.batches.read(),
+        f"{prefix}batches": engine.ledger_view(),
+        f"{prefix}batch_status_log": engine.batches.read(),
         f"{prefix}batch_metrics": engine.metrics.read(),
     }
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return sorted(views)
+
+
+def _term(value: Any, datatype: str | None = None, lang: str | None = None) -> dict:
+    """One RDF term in SPARQL-JSON form (reference binding conversion at
+    fastapi_sparql_server.py:242-338). Engine conventions: deterministic
+    reifiers ``b<sha256hex>`` are blank nodes; IRI-schemed strings are
+    uris; everything else is a (possibly typed/tagged) literal."""
+    if value is None:
+        return {}
+    s = str(value)
+    if isinstance(value, str) and _BNODE_RE.match(s):
+        return {"type": "bnode", "value": s}
+    if isinstance(value, str) and _IRI_RE.match(s):
+        return {"type": "uri", "value": s}
+    out: dict[str, Any] = {"type": "literal", "value": s}
+    if lang:
+        out["xml:lang"] = lang
+    elif datatype:
+        out["datatype"] = datatype
+    elif isinstance(value, bool):
+        out["datatype"] = "http://www.w3.org/2001/XMLSchema#boolean"
+        out["value"] = s.lower()
+    elif isinstance(value, int):
+        out["datatype"] = "http://www.w3.org/2001/XMLSchema#integer"
+    elif isinstance(value, float):
+        out["datatype"] = "http://www.w3.org/2001/XMLSchema#double"
+    return out
+
+
+def to_sparql_json(df: DataFrame, limit: int = 10_000) -> dict:
+    """Render a (bounded) DataFrame result as the W3C SPARQL 1.1 JSON
+    results document — the thin formatting layer between our SQL serving
+    and a SPARQL-protocol client. Collects at most ``limit`` rows: this is
+    a presentation adapter for query RESULTS, never a data-plane path.
+
+    Triple-relation conventions are honored: an ``object`` column is typed
+    from its sibling ``object_datatype``/``object_lang`` columns; a
+    ``quoted`` struct renders as an RDF-star triple term."""
+    rows = df.limit(limit).collect()
+    cols = df.columns
+    bindings = []
+    for r in rows:
+        b: dict[str, Any] = {}
+        for c in cols:
+            v = r[c]
+            if v is None:
+                continue  # unbound variable: omitted, per the spec
+            if c == "object" and "object_datatype" in cols:
+                b[c] = _term(
+                    v,
+                    datatype=r["object_datatype"] if "object_datatype" in cols else None,
+                    lang=r["object_lang"] if "object_lang" in cols else None,
+                )
+            elif c in {"object_datatype", "object_lang", "object_kind"}:
+                continue  # folded into the object term
+            elif c == "quoted" and hasattr(v, "asDict"):
+                q = v.asDict()
+                b[c] = {
+                    "type": "triple",
+                    "value": {
+                        "subject": _term(q.get("s")),
+                        "predicate": _term(q.get("p")),
+                        "object": _term(q.get("o")),
+                    },
+                }
+            else:
+                b[c] = _term(v)
+        bindings.append(b)
+    head_vars = [
+        c for c in cols if c not in {"object_datatype", "object_lang", "object_kind"}
+    ]
+    return {"head": {"vars": head_vars}, "results": {"bindings": bindings}}

@@ -1,0 +1,251 @@
+"""RDF text interop: N-Quads / TriG serialization and an N-Quads loader.
+
+Reference parity (round-1 VERDICT "What's missing" #2):
+
+* export — the reference dumps every batch to TriG/Turtle/NT/NQ
+  (batch_cli.py:216-242, batch_manager.py:607-639, TriG serializer
+  rdf_star_etl_yarrrml.py:611-648);
+* load — the workbench ingests RDF files into named graphs
+  (rdf-workbench.py:99-133).
+
+Everything here is columnar Catalyst (concat / replace / regexp_extract):
+serialization and parsing both run distributed, no per-row Python.
+
+Grammar scope: the W3C N-Quads 1.1 subset our engine emits — IRI and
+blank-node subjects/graphs, IRI predicates, IRI / blank / literal objects
+with ``@lang`` or ``^^<datatype>``, string escapes ``\\ \" \n \r \t``.
+Full TriG prefix/compact syntax is NOT parsed (write-side only emits full
+IRIs, so exported TriG needs no prefix directives and every exported file
+round-trips through :func:`read_nquads`-style parsing of its statements).
+
+RDF-star: quoted triples are emitted in TriG-star syntax
+(``<< s p o >> pred obj .``) by :func:`trig_star_annotation_lines`; plain
+N-Quads export reifier-flattens instead (one blank node per annotation,
+linked with rdf:reifies) so the output stays RDF 1.1 valid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+# (search, replacement) pairs in WRITE order — backslash first
+_ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
+
+
+def escape_literal(col: Column) -> Column:
+    """N-Triples string escaping, JVM-side (F.replace is literal, no regex)."""
+    out = col
+    for search, repl in _ESCAPES:
+        out = F.replace(out, F.lit(search), F.lit(repl))
+    return out
+
+
+def unescape_literal(col: Column) -> Column:
+    """Inverse of :func:`escape_literal`. Escape sequences are decoded via a
+    placeholder so ``\\\\n`` (escaped backslash + n) is not confused with
+    ``\\n`` (newline): first ``\\\\`` → \\x00, then the char escapes, then
+    \\x00 → ``\\``."""
+    out = F.replace(col, F.lit("\\\\"), F.lit("\x00"))
+    for search, repl in [("\\n", "\n"), ("\\r", "\r"), ("\\t", "\t"), ('\\"', '"')]:
+        out = F.replace(out, F.lit(search), F.lit(repl))
+    return F.replace(out, F.lit("\x00"), F.lit("\\"))
+
+
+def iri_term(col: Column) -> Column:
+    return F.concat(F.lit("<"), col, F.lit(">"))
+
+
+def bnode_term(col: Column) -> Column:
+    return F.concat(F.lit("_:"), col)
+
+
+def subject_term(df: DataFrame) -> Column:
+    """Subject rendering: IRI unless a ``subject_kind`` column says blank."""
+    s = F.col("subject")
+    if "subject_kind" in df.columns:
+        return F.when(F.col("subject_kind") == "blank", bnode_term(s)).otherwise(
+            iri_term(s)
+        )
+    return iri_term(s)
+
+
+def object_term(df: DataFrame) -> Column:
+    """Object rendering from (object, object_datatype, object_lang,
+    object_kind). Plain literals stay untyped; xsd:string is canonicalized
+    to the untyped form (RDF 1.1: they are the same term)."""
+    o = F.col("object")
+    lit = F.concat(F.lit('"'), escape_literal(o), F.lit('"'))
+    if "object_lang" in df.columns:
+        lit = F.when(
+            F.col("object_lang").isNotNull(),
+            F.concat(lit, F.lit("@"), F.col("object_lang")),
+        ).otherwise(
+            _with_datatype(lit)
+            if "object_datatype" in df.columns
+            else lit
+        )
+    elif "object_datatype" in df.columns:
+        lit = _with_datatype(lit)
+    if "object_kind" in df.columns:
+        return (
+            F.when(F.col("object_kind") == "iri", iri_term(o))
+            .when(F.col("object_kind") == "blank", bnode_term(o))
+            .otherwise(lit)
+        )
+    return lit
+
+
+def _with_datatype(lit: Column) -> Column:
+    dt = F.col("object_datatype")
+    return F.when(
+        dt.isNotNull() & (dt != XSD_STRING),
+        F.concat(lit, F.lit("^^"), iri_term(dt)),
+    ).otherwise(lit)
+
+
+def nquads_lines(triples: DataFrame) -> DataFrame:
+    """One N-Quads statement per row (column ``value``) — write with
+    ``df.write.text(path)``. Null graph → triple in the default graph
+    (valid N-Quads: the graph label is optional)."""
+    parts = [subject_term(triples), iri_term(F.col("predicate")), object_term(triples)]
+    line = F.concat_ws(" ", *parts)
+    if "graph" in triples.columns:
+        line = F.when(
+            F.col("graph").isNotNull(),
+            F.concat_ws(" ", line, iri_term(F.col("graph"))),
+        ).otherwise(line)
+    return triples.select(F.concat(line, F.lit(" .")).alias("value"))
+
+
+def trig_lines(triples: DataFrame) -> DataFrame:
+    """TriG statements, fully distributed: default-graph triples render
+    bare (Turtle statements), named-graph triples as single-statement
+    ``<g> { ... }`` blocks (TriG permits repeating a graph label; the graph
+    is the union of its blocks). Full IRIs everywhere → no prefix
+    directives needed → no driver-side header, no coalesce(1)."""
+    stmt = F.concat_ws(
+        " ",
+        subject_term(triples),
+        iri_term(F.col("predicate")),
+        object_term(triples),
+    )
+    if "graph" in triples.columns:
+        line = F.when(
+            F.col("graph").isNotNull(),
+            F.concat(
+                iri_term(F.col("graph")), F.lit(" { "), stmt, F.lit(" . }")
+            ),
+        ).otherwise(F.concat(stmt, F.lit(" .")))
+    else:
+        line = F.concat(stmt, F.lit(" ."))
+    return triples.select(line.alias("value"))
+
+
+def trig_star_annotation_lines(annotations: DataFrame) -> DataFrame:
+    """TriG-star statements for RDF-star annotations:
+    ``<< <s> <p> o >> <pred> obj .`` (quoted objects of the flagship
+    mapping are literals or IRIs; the quoted struct carries no datatype, so
+    the quoted object renders as IRI-or-plain-literal by sniffing the
+    http(s) scheme — matches how the quoted fact was asserted)."""
+    qo = F.col("quoted.o")
+    qo_term = F.when(
+        qo.rlike("^https?://"), iri_term(qo)
+    ).otherwise(F.concat(F.lit('"'), escape_literal(qo), F.lit('"')))
+    quoted = F.concat_ws(
+        " ",
+        F.lit("<<"),
+        iri_term(F.col("quoted.s")),
+        iri_term(F.col("quoted.p")),
+        qo_term,
+        F.lit(">>"),
+    )
+    line = F.concat_ws(
+        " ", quoted, iri_term(F.col("predicate")), object_term(annotations)
+    )
+    return annotations.select(F.concat(line, F.lit(" .")).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# loader (S11) — distributed N-Quads parsing with regexp_extract
+# ---------------------------------------------------------------------------
+
+# one statement: subject, predicate, object-term, optional graph
+_NQ_RE = (
+    r"^\s*(<[^>]*>|_:[^\s]+)\s+"  # 1 subject
+    r"(<[^>]*>)\s+"  # 2 predicate
+    r"(<[^>]*>|_:[^\s]+|\"(?:[^\"\\]|\\.)*\"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)"
+    r"(?:\s+(<[^>]*>|_:[^\s]+))?\s*\.\s*$"  # 4 optional graph
+)
+_LIT_RE = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^>]*)>)?$'
+
+
+def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+    """Load an N-Quads (or our exported TriG single-statement-block) file
+    into the engine's triple relation — columnar regexp parsing, no Python
+    per line. Malformed lines raise (strict mode): count parse failures and
+    assert zero."""
+    raw = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    raw = raw.where(~F.trim("value").startswith("#"))
+    # unwrap our single-statement TriG blocks: `<g> { stmt . }` → `stmt <g> .`
+    block = r"^\s*<([^>]*)>\s*\{\s*(.*\S)\s*\.\s*\}\s*$"
+    g_from_block = F.regexp_extract("value", block, 1)
+    stmt_from_block = F.regexp_extract("value", block, 2)
+    df = raw.select(
+        F.when(
+            g_from_block != "",
+            F.concat(
+                stmt_from_block, F.lit(" <"), g_from_block, F.lit("> .")
+            ),
+        )
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+
+    def term_value(c: Column) -> Column:
+        return F.when(
+            c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1)
+        ).otherwise(F.regexp_replace(c, r"^_:", ""))
+
+    parsed = df.select(
+        "value",
+        F.regexp_extract("value", _NQ_RE, 1).alias("_s"),
+        F.regexp_extract("value", _NQ_RE, 2).alias("_p"),
+        F.regexp_extract("value", _NQ_RE, 3).alias("_o"),
+        F.regexp_extract("value", _NQ_RE, 4).alias("_g"),
+    )
+    bad = parsed.where(F.col("_s") == "").limit(1).collect()
+    if bad:
+        raise ValueError(f"unparseable N-Quads statement: {bad[0]['value']!r}")
+    o = F.col("_o")
+    lex = unescape_literal(F.regexp_extract(o, _LIT_RE, 1))
+    lang = F.nullif(F.regexp_extract(o, _LIT_RE, 2), F.lit(""))
+    dt = F.nullif(F.regexp_extract(o, _LIT_RE, 3), F.lit(""))
+    return parsed.select(
+        term_value(F.col("_s")).alias("subject"),
+        F.when(F.col("_s").startswith("_:"), "blank").otherwise("iri").alias(
+            "subject_kind"
+        ),
+        term_value(F.col("_p")).alias("predicate"),
+        F.when(o.startswith("<"), term_value(o))
+        .when(o.startswith("_:"), term_value(o))
+        .otherwise(lex)
+        .alias("object"),
+        F.when(o.startswith("<"), F.lit(None).cast("string"))
+        .when(o.startswith("_:"), F.lit(None).cast("string"))
+        .otherwise(dt)
+        .alias("object_datatype"),
+        F.when(o.rlike("^[<_]"), F.lit(None).cast("string"))
+        .otherwise(lang)
+        .alias("object_lang"),
+        F.when(o.startswith("<"), "iri")
+        .when(o.startswith("_:"), "blank")
+        .otherwise("literal")
+        .alias("object_kind"),
+        F.when(F.col("_g") == "", F.lit(None).cast("string"))
+        .otherwise(term_value(F.col("_g")))
+        .alias("graph"),
+    )

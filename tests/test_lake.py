@@ -103,3 +103,31 @@ def test_append_ledger(spark, tmp_path):
         ("b0", 1),
         ("b1", 2),
     ]
+
+
+def test_concurrent_commit_raises(spark, tmp_path):
+    """Two writers racing the same version: the loser gets
+    ConcurrentCommitError, the winner's snapshot is untouched."""
+    import pytest as _pytest
+
+    from etl_pipeline_rdf_star_spark.storage.lake import ConcurrentCommitError
+
+    tbl = LakeTable(spark, str(tmp_path / "cc"), key_cols=["k"], n_buckets=2)
+    tbl.create(_df(spark, [("a", 1)], "k string, v long"))
+    loser = LakeTable(spark, str(tmp_path / "cc"), key_cols=["k"], n_buckets=2)
+    snap_stale = loser.snapshot()  # both see version 0
+    tbl.merge(_df(spark, [("a", 2)], "k string, v long"), "winner")
+    # the loser now tries to publish its own version 1 from the stale view
+    from etl_pipeline_rdf_star_spark.storage.lake import Snapshot
+
+    stale_next = Snapshot(
+        version=snap_stale.version + 1,
+        operation="merge",
+        files=snap_stale.files,
+        schema_json=snap_stale.schema_json,
+        committed_batches=snap_stale.committed_batches + ["loser"],
+    )
+    with _pytest.raises(ConcurrentCommitError):
+        loser._commit(stale_next)
+    assert "winner" in tbl.snapshot().committed_batches
+    assert "loser" not in tbl.snapshot().committed_batches

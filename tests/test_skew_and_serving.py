@@ -35,7 +35,26 @@ def test_salted_agg_equals_plain_agg(spark, sf_dir):
     salted = {
         (r.repo): (r.n, r.mx)
         for r in salted_agg(
-            ev, ["repo"], {"n": F.count("*"), "mx": F.max("seq")}
+            ev, ["repo"], {"n": F.count("*"), "mx": (F.max("seq"), "max")}
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_min_and_callable_refold(spark, sf_dir):
+    ev = synth.cdc_events(spark, sf_dir)
+    plain = {
+        r.repo: (r.mn, r.total)
+        for r in ev.groupBy("repo")
+        .agg(F.min("seq").alias("mn"), F.sum("seq").alias("total"))
+        .collect()
+    }
+    salted = {
+        r.repo: (r.mn, r.total)
+        for r in salted_agg(
+            ev,
+            ["repo"],
+            {"mn": (F.min("seq"), "min"), "total": (F.sum("seq"), F.sum)},
         ).collect()
     }
     assert plain == salted
@@ -57,6 +76,57 @@ def test_salted_topk_equals_plain_topk(spark, sf_dir):
         for r in salted_topk_per_key(ev, "repo", "seq", 3).collect()
     }
     assert plain == salted
+
+
+def test_sparql_json_bindings(spark):
+    """SPARQL 1.1 JSON results adapter: uri/bnode/literal typing, datatype
+    and lang folding, RDF-star triple terms, unbound-variable omission."""
+    from etl_pipeline_rdf_star_spark.serving import to_sparql_json
+
+    df = spark.createDataFrame(
+        [
+            (
+                "http://example.org/s1",
+                "http://example.org/p",
+                "42",
+                "http://www.w3.org/2001/XMLSchema#integer",
+                None,
+            ),
+            ("b" + "0" * 64, "http://example.org/p", "bonjour", None, "fr"),
+            ("http://example.org/s2", "http://example.org/p", None, None, None),
+        ],
+        "subject string, predicate string, object string, "
+        "object_datatype string, object_lang string",
+    )
+    doc = to_sparql_json(df)
+    assert doc["head"]["vars"] == ["subject", "predicate", "object"]
+    b0, b1, b2 = doc["results"]["bindings"]
+    assert b0["subject"] == {"type": "uri", "value": "http://example.org/s1"}
+    assert b0["object"] == {
+        "type": "literal",
+        "value": "42",
+        "datatype": "http://www.w3.org/2001/XMLSchema#integer",
+    }
+    assert b1["subject"]["type"] == "bnode"
+    assert b1["object"] == {"type": "literal", "value": "bonjour", "xml:lang": "fr"}
+    assert "object" not in b2  # unbound → omitted per the spec
+
+    from pyspark.sql import Row
+
+    ann = spark.createDataFrame(
+        [
+            Row(
+                quoted=Row(s="http://example.org/s1", p="http://example.org/p", o="en"),
+                predicate="http://example.org/confidence",
+                object="0.9",
+            )
+        ]
+    )
+    d2 = to_sparql_json(ann)
+    q = d2["results"]["bindings"][0]["quoted"]
+    assert q["type"] == "triple"
+    assert q["value"]["subject"]["type"] == "uri"
+    assert q["value"]["object"] == {"type": "literal", "value": "en"}
 
 
 def test_sql_serving_views(spark, tmp_path, sf_dir):

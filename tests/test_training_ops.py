@@ -56,6 +56,37 @@ def test_ngram_jaccard_exact_values(dup_docs):
     assert (0, 3) not in pairs
 
 
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """VERDICT r1 item 7: a ubiquitous shingle must not quadratic-blow the
+    inverted-index join, and the capped path must find the same pairs as
+    the exact join when near-dups share at least one rare shingle."""
+    filler = "common filler words shared by every single document here"
+    rows = [(i, f"{filler} unique tail piece number {i} alpha beta") for i in range(30)]
+    # one true near-dup pair sharing a RARE tail
+    rows.append((100, f"{filler} special rare ending marker one two three four"))
+    rows.append((101, f"{filler} special rare ending marker one two three five"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.7).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.7, max_doc_freq=10
+        ).collect()
+    }
+    assert capped == exact
+    assert (100, 101) in capped
+    # the hot filler shingles (df=32 > cap) never generate candidates:
+    # unrelated docs that ONLY share filler must not appear even at a
+    # threshold the filler alone could reach
+    low = dedup.ngram_jaccard_pairs(df, threshold=0.4, max_doc_freq=10)
+    low_pairs = {(r.doc_a, r.doc_b) for r in low.collect()}
+    assert all(p == (100, 101) for p in low_pairs)
+
+
 def test_lsh_then_verify_pipeline(dup_docs):
     cand = dedup.minhash_lsh_pairs(dup_docs, bands=6, rows_per_band=2)
     verified = dedup.ngram_jaccard_pairs(

@@ -25,10 +25,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N = int(os.environ.get("SCALE_N", "2"))
-ROUNDS = int(os.environ.get("SCALE_ROUNDS", "3"))
-MULT = int(os.environ.get("SCALE_EVENT_MULT", "4"))
-REPEAT = int(os.environ.get("SCALE_CONTENT_REPEAT", "20"))
+# N=8 → the driver-visible local[8] vs local[32] pair
+N = int(os.environ.get("SCALE_N", "8"))
+ROUNDS = int(os.environ.get("SCALE_ROUNDS", "5"))
+MULT = int(os.environ.get("SCALE_EVENT_MULT", "8"))
+REPEAT = int(os.environ.get("SCALE_CONTENT_REPEAT", "8"))
 
 
 def main() -> None:
@@ -42,8 +43,7 @@ def main() -> None:
     spark = get_spark("inline-scale", cores=hi_cores, shuffle_partitions=hi_cores)
     spark.sparkContext.setLogLevel("ERROR")
 
-    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    p = synth.scale_params(n_docs)
+    p = synth.scale_params(synth.n_docs(SF_DIR))
     nf, ne = p.n_files * MULT, p.n_events * MULT
 
     def run(par: int) -> dict:
@@ -58,7 +58,9 @@ def main() -> None:
         n = ev.count()
         wh = tempfile.mkdtemp(prefix=f"is{par}_", dir="/dev/shm")
         try:
-            eng = CdcEngine(spark, wh, n_buckets=par * 8)
+            # merge-on-read: the sustained-ingest path the north rule
+            # benchmarks (single shuffle + write per micro-batch)
+            eng = CdcEngine(spark, wh, n_buckets=par * 2, mode="mor")
             t0 = time.perf_counter()
             eng.replay(ev, num_batches=2, id_prefix="s")
             dt = time.perf_counter() - t0
