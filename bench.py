@@ -88,7 +88,9 @@ def main() -> None:
     try:
         eng2 = CdcEngine(spark, wh2, n_buckets=max(cpus, 16), mode="mor")
         t0 = time.perf_counter()
-        eng2.replay(events_mor, num_batches=4, id_prefix="bench")
+        eng2.replay(
+            events_mor, num_batches=4, id_prefix="bench", seq_hi=n_events_mor - 1
+        )
         mor_s = time.perf_counter() - t0
         timings["cdc_replay_mor"] = round(mor_s, 3)
         t0 = time.perf_counter()

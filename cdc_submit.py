@@ -35,6 +35,20 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument(
+        "--mode",
+        choices=["cow", "mor"],
+        default="mor",
+        help="merge strategy: copy-on-write (read-optimized) or "
+        "merge-on-read (sustained-ingest; default)",
+    )
+    ap.add_argument(
+        "--auto-compact-deltas",
+        type=int,
+        default=4,
+        help="MoR maintenance: compact when avg delta files/bucket exceeds "
+        "this (read-amplification bound); 0 disables",
+    )
+    ap.add_argument(
         "--synthesize",
         metavar="SF_DIR",
         help="write a deterministic event log from SF_DIR first (smoke mode)",
@@ -62,7 +76,13 @@ def main() -> None:
 
     from etl_pipeline_rdf_star_spark.streaming.cdc import CdcEngine
 
-    eng = CdcEngine(spark, args.warehouse, n_buckets=args.n_buckets)
+    eng = CdcEngine(
+        spark,
+        args.warehouse,
+        n_buckets=args.n_buckets,
+        mode=args.mode,
+        auto_compact_deltas=args.auto_compact_deltas or None,
+    )
     eng.run_stream(
         args.events,
         args.checkpoint,

@@ -130,12 +130,42 @@ def cmd_export(args) -> None:
       annotation statements (``<< s p o >> pred obj .``), mirroring the
       reference's TriG-star serializer (rdf_star_etl_yarrrml.py:611-648)
     """
+    from pyspark.sql import functions as _F
+
     from .streaming.cdc import CdcEngine
 
     spark = _spark(args.cores)
     eng = CdcEngine(spark, args.warehouse)
+
+    # S13 batch scoping: --version exports the table AS OF that snapshot
+    # (time travel), --batch exports the state as of one ledger batch's
+    # table_version (reference: dump one named graph, batch_cli.py:216-242)
+    version = args.version
+    if args.batch is not None:
+        row = (
+            eng.ledger_view()
+            .where(_F.col("batch_id") == args.batch)
+            .select("table_version")
+            .first()
+        )
+        if row is None:
+            raise SystemExit(f"unknown batch id: {args.batch}")
+        version = int(row["table_version"])
+
+    def state_at():
+        if version is None:
+            return eng.current_state()
+        df = eng.table.read_resolved(version=version)
+        if "_deleted" in df.columns:
+            df = df.where(~_F.coalesce(_F.col("_deleted"), _F.lit(False)))
+        return df.select("repo", "path", "commit", "lang", "content")
+
     if args.fmt == "parquet":
-        df = eng.triples_view() if args.what == "triples" else eng.current_state()
+        df = (
+            eng.triples_view(state_at())
+            if args.what == "triples"
+            else state_at()
+        )
         df.write.mode("overwrite").parquet(args.out)
         n = df.count()
     else:
@@ -147,8 +177,8 @@ def cmd_export(args) -> None:
             trig_star_annotation_lines,
         )
 
-        triples = eng.triples_view()
-        anns = eng.annotations_view()
+        triples = eng.triples_view(state_at())
+        anns = eng.annotations_view(state_at())
         if args.fmt == "nquads":
             ann_quads = anns.select(
                 F.col("reifier").alias("subject"),
@@ -237,6 +267,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument(
         "--fmt", choices=["parquet", "nquads", "trig"], default="parquet"
     )
+    p.add_argument("--version", type=int, default=None,
+                   help="export AS OF this table snapshot (time travel)")
+    p.add_argument("--batch", default=None,
+                   help="export the state as of this ledger batch id")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_export)
 

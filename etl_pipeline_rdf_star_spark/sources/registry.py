@@ -183,9 +183,11 @@ def _parquet(spark: SparkSession, spec: SourceSpec, base_dir: str) -> DataFrame:
 def _jdbc(spark: SparkSession, spec: SourceSpec, base_dir: str) -> DataFrame:
     """S5-S7: one JDBC path covers sqlite/postgres/mysql — the reference's
     three near-identical connectors (sources/database/*.py) collapse into
-    Spark's jdbc source with query pushdown. Driver jars must be on the
-    classpath; in this sandbox none ship, so tests use the registry
-    dispatch path only."""
+    Spark's jdbc source with query pushdown. Driver jars go on the
+    classpath; integration-tested end-to-end against the EMBEDDED Apache
+    Derby database that ships with Spark (DDL + rows through java.sql,
+    read back with pushed-down query and filters —
+    tests/test_sources.py::test_jdbc_against_live_embedded_derby)."""
     url = interpolate_env(spec.access)
     opts = {"url": url, **spec.options}
     if spec.iterator:  # iterator doubles as the SQL query, pushed down

@@ -570,12 +570,22 @@ class CdcEngine:
         return {**res, "purged_batches": len(rows)}
 
     def replay(
-        self, events: DataFrame, num_batches: int = 4, id_prefix: str = "replay"
+        self,
+        events: DataFrame,
+        num_batches: int = 4,
+        id_prefix: str = "replay",
+        seq_hi: int | None = None,
     ) -> list[BatchResult]:
         """Replay a bounded event log as ``num_batches`` seq-ranged
         micro-batches (the batch boundaries don't affect the final state —
-        that's the convergence property the tests verify)."""
-        hi = events.agg(F.max("seq")).collect()[0][0]
+        that's the convergence property the tests verify). ``seq_hi``
+        skips the max(seq) scan when the caller already knows the range
+        (synthetic logs do) — one less serial job per replay."""
+        hi = (
+            seq_hi
+            if seq_hi is not None
+            else events.agg(F.max("seq")).collect()[0][0]
+        )
         if hi is None:
             return []
         step = (hi + num_batches) // num_batches

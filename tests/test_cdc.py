@@ -293,3 +293,58 @@ def test_mor_auto_compaction(spark, tmp_path, events, oracle_fp):
     # bounded read amplification: files <= threshold * buckets (+1 batch)
     assert len(eng.table.snapshot().files) <= 3 * eng.table.n_buckets
     assert table_fingerprint(eng.current_state(), STATE_COLS) == oracle_fp
+
+
+def test_stateful_running_repo_stats(spark, tmp_path, events):
+    """applyInPandasWithState (§2.9): per-repo running totals accumulate
+    across micro-batches and the final update equals the batch aggregate."""
+    from etl_pipeline_rdf_star_spark.streaming.stateful import (
+        running_repo_stats,
+    )
+
+    ev_dir = str(tmp_path / "st_events")
+    hi = events.agg(F.max("seq")).collect()[0][0]
+    half = hi // 2
+    events.where(F.col("seq") <= half).coalesce(1).write.mode("append").parquet(ev_dir)
+    events.where(F.col("seq") > half).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    schema = (
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string, event_ts timestamp"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    q = (
+        running_repo_stats(stream)
+        .writeStream.format("memory")
+        .queryName("repo_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # latest update per repo (cumulative counters are monotone)
+    got = {
+        r["repo"]: (r["n_events"], r["n_deletes"], r["max_seq"])
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY repo ORDER BY n_events DESC) AS rn
+                 FROM repo_stats) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["repo"]: (r["n"], r["d"], r["mx"])
+        for r in events.groupBy("repo")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
+            F.max("seq").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -104,3 +104,41 @@ def test_cli_export_and_query(tmp_path, capsys, sf_dir):
     cli.main(["query", "files_per_repo", "--sf-dir", sf_dir, "--limit", "5"])
     q = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert len(q) == 5 and "n_files" in q[0]
+
+
+def test_cli_export_batch_scoped_nquads(tmp_path, capsys, sf_dir):
+    """S13 batch export: --batch scopes the dump to one ledger batch's
+    snapshot (time travel); the as-of export differs from the final one
+    and round-trips through the N-Quads reader."""
+    from etl_pipeline_rdf_star_spark import cli
+    from etl_pipeline_rdf_star_spark.session import get_spark
+    from etl_pipeline_rdf_star_spark.sinks.rdf_text import read_nquads
+
+    wh = str(tmp_path / "wh3")
+    cli.main(["replay", "--warehouse", wh, "--sf-dir", sf_dir, "--batches", "3"])
+    capsys.readouterr()
+
+    out0 = str(tmp_path / "b0")
+    cli.main(
+        ["export", "--warehouse", wh, "--what", "triples", "--fmt", "nquads",
+         "--batch", "replay-00000", "--out", out0]
+    )
+    e0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out_final = str(tmp_path / "bfinal")
+    cli.main(
+        ["export", "--warehouse", wh, "--what", "triples", "--fmt", "nquads",
+         "--out", out_final]
+    )
+    ef = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # batch 0 = pure version-0 inserts (no deletes yet): a different quad
+    # count than the converged final state (which has tombstoned keys)
+    assert e0["rows"] > 0 and ef["rows"] > 0 and e0["rows"] != ef["rows"]
+
+    spark = get_spark("tests")
+    assert read_nquads(spark, out0).count() == e0["rows"]
+
+    with pytest.raises(SystemExit, match="unknown batch"):
+        cli.main(
+            ["export", "--warehouse", wh, "--what", "triples",
+             "--batch", "nope", "--out", str(tmp_path / "x")]
+        )

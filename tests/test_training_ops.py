@@ -155,16 +155,57 @@ def test_fingerprint_stability_and_sensitivity(dup_docs):
 def test_multimodal_plumbing(spark):
     media = multimodal.synthesize_media(spark, n=30)
     assert media.count() == 30
-    feats = multimodal.extract_features(media)
+    # strict=True works end-to-end: every synthesized mime has a REAL codec
+    feats = multimodal.extract_features(media, strict=True)
     rows = feats.collect()
     assert all(len(r.feature) == 8 for r in rows)
     assert all(r.n_bytes > 0 for r in rows)
-    frames = multimodal.sample_frames(media, every_ms=500)
+    frames = multimodal.sample_frames(media, every_ms=500, strict=True)
     assert frames.count() > media.where("kind = 'video'").count()  # fan-out
-    resized = multimodal.resize_images(media)
+    resized = multimodal.resize_images(media, strict=True)
     assert resized.select("width").distinct().collect()[0][0] == 224
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        multimodal.extract_features(media, strict=True).collect()
+    # unsupported (compressed) mime: strict raises, lax falls back
+    jpeg = spark.createDataFrame(
+        [(0, "image", "image/jpeg", b"\xff\xd8fakejpeg", 4, 4, 0)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
+        multimodal.extract_features(jpeg, strict=True).collect()
+    assert multimodal.extract_features(jpeg, strict=False).count() == 1
+
+
+def test_media_codecs_real_decode(spark):
+    """The uncompressed-format kernels are real: decoded values match the
+    deterministic synthesis, resize is correct nearest-neighbor, frames
+    are standalone decodable PPMs."""
+    import numpy as np
+
+    from etl_pipeline_rdf_star_spark.functions import codecs
+
+    img = codecs.decode_ppm(codecs.synth_ppm(5, w=16, h=12))
+    assert img.shape == (12, 16, 3)
+    assert img[0, 0, 0] == (0 + 5) % 256 and img[3, 2, 1] == (9 + 35) % 256
+
+    small = codecs.resize_nearest(img, 8, 6)
+    assert small.shape == (6, 8, 3)
+    assert (small == img[::2, ::2]).all()  # exact 2x decimation
+
+    samples, sr = codecs.decode_wav(codecs.synth_wav(3, ms=50))
+    assert sr == 8000 and samples.shape[0] == 400
+    rms = float(np.sqrt((samples**2).mean()))
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.01  # sine RMS = A/sqrt(2)
+
+    frames = codecs.split_ppm_stream(codecs.synth_ppm_video(2, n_frames=4))
+    assert len(frames) == 4
+    assert all(codecs.decode_ppm(f).shape == (6, 8, 3) for f in frames)
+
+    # distributed check: mean-R feature of a known image via the Spark path
+    media = multimodal.synthesize_media(spark, n=3)
+    row = multimodal.extract_features(media, strict=True).where(
+        "media_id = 0"
+    ).collect()[0]
+    ref = codecs.decode_ppm(codecs.synth_ppm(0, 16, 12))
+    assert abs(row.feature[2] - float(ref[..., 0].mean())) < 1e-4
 
 
 def test_function_registry_in_mapping(spark):
