@@ -287,6 +287,14 @@ class CompiledTriplePattern:
     row_filter: Column | None
     obj_kind: str = "literal"  # iri | literal | blank — known at compile
     # time; carried through so serializers never guess term kinds
+    # constant-folded metadata (None when absent). meta_static=False marks
+    # dynamic datatype/lang templates (``datatype: $(col)``) — those need
+    # the source row; everything else can be re-derived from a stored
+    # object VALUE alone (the wide-row serving fast path).
+    const_datatype: str | None = None
+    const_lang: str | None = None
+    const_graph: str | None = None
+    meta_static: bool = True
 
 
 def compile_asserted_patterns(
@@ -315,6 +323,7 @@ def compile_asserted_patterns(
                 graph_col = (
                     F.lit(expand_prefix(g, prefixes, base)) if g else F.lit(None)
                 ).cast("string")
+                graph_const = expand_prefix(g, prefixes, base) if g else None
                 for pred in po.predicates:
                     pred_iri = expand_prefix(pred, prefixes, base)
                     for obj in po.objects:
@@ -322,6 +331,12 @@ def compile_asserted_patterns(
                             continue  # handled by materializer join (J3)
                         if obj.quoted_ref is not None:
                             continue  # quoted-object: materializer join (J1)
+                        dyn_dt = bool(
+                            obj.datatype and TEMPLATE_REF_RE.search(obj.datatype)
+                        )
+                        dyn_lang = bool(
+                            obj.language and TEMPLATE_REF_RE.search(obj.language)
+                        )
                         patterns.append(
                             CompiledTriplePattern(
                                 tm_name=tm_name,
@@ -333,6 +348,14 @@ def compile_asserted_patterns(
                                 graph=graph_col,
                                 row_filter=row_filter,
                                 obj_kind=obj.kind,
+                                const_datatype=None
+                                if dyn_dt or obj.datatype is None
+                                else expand_prefix(obj.datatype, prefixes, base),
+                                const_lang=None
+                                if dyn_lang
+                                else obj.language,
+                                const_graph=graph_const,
+                                meta_static=not (dyn_dt or dyn_lang),
                             )
                         )
                 for ipred in po.inverse_predicates:

@@ -29,8 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import synth
-from ..mapping.flagship import flagship_ir, prepare_input
-from ..operators.materialize import materialize_document
+from ..mapping.flagship import prepare_input
 
 SEP = "\x1f"  # chr(31) — unit separator used in reifier fingerprints
 
@@ -41,7 +40,7 @@ SEP = "\x1f"  # chr(31) — unit separator used in reifier fingerprints
 
 # Bump when ingest/materialization logic changes: invalidates cached
 # serving warehouses built by older code.
-_WH_TAG = "r2b"
+_WH_TAG = "r2c"
 
 
 def serving_warehouse(spark: SparkSession, sf_dir: str) -> str:
@@ -113,10 +112,13 @@ def _san(c: str) -> str:
 
 
 def _materialized(spark: SparkSession, sf_dir: str):
-    state = _final_state(spark, sf_dir)
-    ir = flagship_ir()
-    sources = {tm: prepare_input(state) for tm in ir.triples_maps}
-    return materialize_document(sources, ir)
+    """Triples + annotations served from the STORED wide columns of the
+    lake table (projection+explode of already-materialized strings —
+    `content` is never read, sha256 never recomputed; the DuckDB oracles
+    recompute everything from the raw log, so CORRECTNESS proves the
+    stored values)."""
+    eng = _lake_engine(spark, sf_dir)
+    return eng.triples_view(), eng.annotations_view()
 
 
 # SQL fragments of the flagship mapping, hand-derived (this duplication is

@@ -61,17 +61,44 @@ def _local_name(iri: str) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", tail) or "p"
 
 
+@dataclass
+class WideLayout:
+    """The compiled wide-row projection PLUS the metadata needed to derive
+    triple/annotation views from STORED wide rows alone — so serving never
+    re-reads the fat source columns (content) or recomputes hashes."""
+
+    cols: list[Column]
+    # (wide column name, compiled pattern) per asserted emission rule
+    asserted: list[tuple[str, object]]
+    # (struct field name, predicate IRI, kind, const_datatype, const_lang)
+    annotation: list[tuple[str, str, str, str | None, str | None]]
+    # True when every asserted pattern's datatype/lang folded to constants
+    static: bool
+
+
 def wide_columns(
     ir: MappingDocumentIR, asserted_tm: str, annotation_tm: str | None
-) -> list[Column]:
+) -> WideLayout:
     """Compile the mapping to the wide-row projection: ``subject`` +
     one column per asserted predicate (``p_<local>``) + the annotation
     struct (reifier, quoted triple, one ``ann_<local>`` per annotation
     predicate). Deterministic reifier = sha256(quoted ‖ row file_key)."""
     cols: list[Column] = []
     seen: set[str] = set()
+    asserted_meta: list[tuple[str, object]] = []
+    ann_meta: list[tuple[str, str, str, str | None, str | None]] = []
 
-    patterns = compile_asserted_patterns(ir, asserted_tm)
+    # the wide row carries EVERY asserted map that shares the primary
+    # map's subject (the flagship's `file` + `file_lang` both mint
+    # ex:file/$(repo)/$(path)) — one column per emission rule, so the
+    # stored table is self-sufficient for serving
+    primary = ir.triples_maps[asserted_tm]
+    patterns = list(compile_asserted_patterns(ir, asserted_tm))
+    for tm_ in ir.asserted_maps():
+        if tm_.name == asserted_tm:
+            continue
+        if tm_.subject.templates == primary.subject.templates:
+            patterns.extend(compile_asserted_patterns(ir, tm_.name))
     subj = patterns[0].subject
     cols.append(subj.cast("string").alias("subject"))
     for p in patterns:
@@ -83,6 +110,7 @@ def wide_columns(
         if p.row_filter is not None:
             c = F.when(p.row_filter, c)
         cols.append(c.alias(name))
+        asserted_meta.append((name, p))
 
     if annotation_tm is not None:
         tm = ir.triples_maps[annotation_tm]
@@ -113,7 +141,7 @@ def wide_columns(
             for pred in po.predicates:
                 pred_iri = _expand(ir, pred)
                 for obj in po.objects:
-                    from ..mapping.compiler import object_value_column
+                    from ..mapping.compiler import TEMPLATE_REF_RE, object_value_column
 
                     name = f"ann_{_local_name(pred_iri)}"
                     if name in seen:
@@ -124,8 +152,26 @@ def wide_columns(
                         .cast("string")
                         .alias(name)
                     )
+                    const_dt = (
+                        None
+                        if obj.datatype is None
+                        or TEMPLATE_REF_RE.search(obj.datatype)
+                        else _expand(ir, obj.datatype)
+                    )
+                    ann_meta.append(
+                        (name, pred_iri, obj.kind or "literal", const_dt,
+                         obj.language)
+                    )
         cols.append(F.struct(*ann_fields).alias("annotation"))
-    return cols
+        if tm.graphs or any(po.graphs for po in tm.predicate_objects):
+            # named-graph annotations need the recompute path
+            ann_meta = []
+    return WideLayout(
+        cols=cols,
+        asserted=asserted_meta,
+        annotation=ann_meta,
+        static=all(p.meta_static for _, p in asserted_meta),
+    )
 
 
 def _expand(ir: MappingDocumentIR, term: str) -> str:
@@ -183,7 +229,8 @@ class CdcEngine:
         self.ir = ir or flagship_ir()
         self.asserted_tm = asserted_tm
         self.annotation_tm = annotation_tm
-        self._wide_cols = wide_columns(self.ir, asserted_tm, annotation_tm)
+        self._layout = wide_columns(self.ir, asserted_tm, annotation_tm)
+        self._wide_cols = self._layout.cols
         self.table = LakeTable(
             spark, f"{warehouse}/rdf_star_files", key_cols=KEY, n_buckets=n_buckets
         )
@@ -206,17 +253,91 @@ class CdcEngine:
         return row_sha256(out, cols=["repo", "path", "commit", "lang", "content"])
 
     def triples_view(self, state: DataFrame | None = None) -> DataFrame:
-        """Triple-grain asserted triples recompiled from table state."""
+        """Triple-grain asserted triples.
+
+        Default (no ``state``): derived from the STORED wide columns — a
+        projection+explode over already-materialized strings that never
+        touches the fat ``content`` column and never recomputes sha256.
+        At 100 TB this is the difference between serving from a pruned
+        column scan and re-running the mapping over the payload.
+        With an explicit ``state`` (time travel, ad-hoc frames) or a
+        dynamic-datatype mapping, falls back to recompiling."""
+        if state is None and self._layout.static:
+            return self._triples_from_wide(self.live_rows())
         state = state if state is not None else self.current_state()
         sources = {tm.name: prepare_input(state) for tm in self.ir.triples_maps.values()}
         triples, _ = materialize_document(sources, self.ir)
         return triples
 
+    def _triples_from_wide(self, wide: DataFrame) -> DataFrame:
+        from ..operators.materialize import TRIPLE_COLS
+
+        def s(v: str | None) -> Column:
+            return F.lit(v).cast("string")
+
+        structs = []
+        for name, p in self._layout.asserted:
+            structs.append(
+                F.when(
+                    F.col(name).isNotNull(),
+                    F.struct(
+                        F.lit(p.tm_name).alias("tm"),
+                        F.col("subject").alias("subject"),
+                        F.lit(p.predicate).alias("predicate"),
+                        F.col(name).alias("object"),
+                        s(p.const_datatype).alias("object_datatype"),
+                        s(p.const_lang).alias("object_lang"),
+                        F.lit(p.obj_kind).alias("object_kind"),
+                        s(p.const_graph).alias("graph"),
+                    ),
+                )
+            )
+        arr = F.array_compact(F.array(*structs))
+        return wide.select(F.explode(arr).alias("t")).select(
+            *[F.col(f"t.{c}").alias(c) for c in TRIPLE_COLS]
+        )
+
     def annotations_view(self, state: DataFrame | None = None) -> DataFrame:
+        if (
+            state is None
+            and self._layout.static
+            and self._layout.annotation
+            and "annotation" in self.table.read().columns
+        ):
+            return self._annotations_from_wide(self.live_rows())
         state = state if state is not None else self.current_state()
         sources = {tm.name: prepare_input(state) for tm in self.ir.triples_maps.values()}
         _, anns = materialize_document(sources, self.ir)
         return anns
+
+    def _annotations_from_wide(self, wide: DataFrame) -> DataFrame:
+        from ..operators.materialize import ANNOTATION_COLS
+
+        def s(v: str | None) -> Column:
+            return F.lit(v).cast("string")
+
+        structs = []
+        for name, pred_iri, kind, const_dt, const_lang in self._layout.annotation:
+            structs.append(
+                F.when(
+                    F.col(f"annotation.{name}").isNotNull(),
+                    F.struct(
+                        F.lit(self.annotation_tm).alias("tm"),
+                        F.col("annotation.reifier").alias("reifier"),
+                        F.col("annotation.quoted").alias("quoted"),
+                        F.lit(pred_iri).alias("predicate"),
+                        F.col(f"annotation.{name}").alias("object"),
+                        s(const_dt).alias("object_datatype"),
+                        s(const_lang).alias("object_lang"),
+                        F.lit(kind).alias("object_kind"),
+                        s(None).alias("graph"),
+                    ),
+                )
+            )
+        arr = F.array_compact(F.array(*structs))
+        return wide.select(F.explode(arr).alias("t")).select(
+            *[F.col(f"t.{c}").alias(c) for c in ANNOTATION_COLS]
+        )
 
     def current_state(self) -> DataFrame:
         """Live (repo,path,commit,lang,content) rows of the lake table
@@ -628,7 +749,8 @@ class CdcEngine:
             triples_maps={**self.ir.triples_maps, tm_name: new_tm},
             external=self.ir.external,
         )
-        self._wide_cols = wide_columns(self.ir, self.asserted_tm, self.annotation_tm)
+        self._layout = wide_columns(self.ir, self.asserted_tm, self.annotation_tm)
+        self._wide_cols = self._layout.cols
 
     # -- streaming ---------------------------------------------------------
 

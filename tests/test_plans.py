@@ -118,6 +118,11 @@ def test_serving_reads_lake_not_log(spark, sf_dir):
     for q in (q_rdf_asserted_triples, q_triples_per_predicate):
         p = plan(q(spark, sf_dir))
         assert "Scan parquet" in p and "Range" not in p
+        # the wide-derived serving view must NEVER read the fat payload
+        # column or recompute hashes — pruned scan of stored strings only
+        read_schema = p.split("ReadSchema")[1].splitlines()[0]
+        assert "content:" not in read_schema
+        assert "sha2" not in p
 
 
 def test_as_of_cut_is_not_eager(spark, sf_dir):
