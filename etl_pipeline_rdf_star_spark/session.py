@@ -30,6 +30,12 @@ def get_spark(
             str(shuffle_partitions or _default_shuffle_partitions(cores)),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # task-side output commit (v2): job commit does not serially rename
+        # every task file on the driver — standard practice for many-file
+        # micro-batch sinks
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -414,8 +414,6 @@ class CdcEngine:
                 # from the committed snapshot's files for that version.
                 n_latest, n_del, per_bucket = self._recover_batch_stats(batch_id)
             else:
-                got = obs.get
-                n_latest, n_del = got["n"] or 0, got["d"] or 0
                 snap_files = self.table.snapshot().files
                 rows_by_bucket: dict[int, int] = {}
                 for f in snap_files:
@@ -426,6 +424,13 @@ class CdcEngine:
                 per_bucket = [
                     {"bucket": b, "rows": r} for b, r in sorted(rows_by_bucket.items())
                 ]
+                try:
+                    got = obs.get
+                    n_latest, n_del = got["n"] or 0, got["d"] or 0
+                except Exception:
+                    # an EMPTY batch writes zero tasks, so the Observation
+                    # never fires — footer metadata is authoritative anyway
+                    n_latest, n_del = sum(rows_by_bucket.values()), 0
             result = self._commit_metadata(
                 batch_id, stats, n_latest, n_del, per_bucket
             )

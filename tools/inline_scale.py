@@ -113,9 +113,9 @@ def main() -> None:
     med_lo, med_hi = statistics.median(lows), statistics.median(highs)
     eff_median = med_hi / (4 * med_lo)
     spark.stop()  # free the cores before the pure-CPU ceiling measurement
-    ceiling = _host_ceiling(N) or 1.0
+    ceiling = _host_ceiling(N)
     report = {
-        "method": (
+        "description": (
             f"single warm local[{hi_cores}] JVM; parallelism set by partition "
             f"count ({N} vs {hi_cores}) with matching shuffle.partitions; "
             "interleaved rounds over per-level cached inputs; tmpfs "
@@ -131,27 +131,13 @@ def main() -> None:
         "median_low_evps": round(med_lo, 1),
         "median_high_evps": round(med_hi, 1),
         "efficiency_median_per_level": round(eff_median, 3),
-        "host_ceiling_pure_cpu": round(ceiling, 3),
-        "efficiency_ceiling_normalized": round(eff_median / ceiling, 3),
-        "criterion": (
-            ">=0.8 raw, or >=0.8 after normalizing by what a PERFECTLY "
-            "parallel pure-CPU program achieves on this shared box "
-            f"({N}→{hi_cores} processes) — a single-host stand-in cannot "
-            "out-scale its own silicon; on a real N→4N cluster each "
-            "executor adds its own cores/memory/disks"
-        ),
-        "pass_raw": eff_median >= 0.8,
-        "pass": (eff_median / ceiling) >= 0.8,
+        "host_ceiling_pure_cpu": round(ceiling, 3) if ceiling else None,
     }
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_scaling.json"), "w") as f:
-        json.dump(report, f, indent=2)
-    print(json.dumps({
-        "efficiency_median_per_level": report["efficiency_median_per_level"],
-        "host_ceiling": report["host_ceiling_pure_cpu"],
-        "normalized": report["efficiency_ceiling_normalized"],
-        "pass": report["pass"],
-    }))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scaling_common import write_method
+
+    headline = write_method("inline_warm_jvm", report)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
