@@ -474,6 +474,100 @@ FROM u JOIN focus ON u.subject = focus.f
 """
 
 
+def q_subject_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance lookup for one subject (batch_manager.py:641-696 /
+    workbench provenance panel): every annotation record on the focus
+    subject's quoted facts — reifier, predicate, object."""
+    _, anns = _materialized(spark, sf_dir)
+    focus = anns.agg(F.min("quoted.s").alias("focus"))
+    return (
+        anns.join(F.broadcast(focus), anns["quoted.s"] == focus["focus"])
+        .select("reifier", "predicate", "object")
+    )
+
+
+_SUBJECT_PROV_SQL = f"""
+WITH a AS ({_ANNOT_SQL}),
+focus AS (SELECT min(q_s) AS f FROM a)
+SELECT reifier, predicate, object
+FROM a JOIN focus ON a.q_s = focus.f
+"""
+
+
+def q_repo_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness per repo (reference freshness MAX(updated) per theme,
+    tests/test_postman_queries.py:420-427): newest change per repo plus
+    staleness hours relative to the global head."""
+    ev = synth.cdc_events(spark, sf_dir)
+    per_repo = ev.groupBy("repo").agg(F.max("event_ts").alias("last_change"))
+    head = per_repo.agg(F.max("last_change").alias("head"))
+    return (
+        per_repo.join(F.broadcast(head), how="cross")
+        .select(
+            "repo",
+            "last_change",
+            F.floor(
+                (F.col("head").cast("long") - F.col("last_change").cast("long"))
+                / 3600
+            ).alias("hours_behind_head"),
+        )
+    )
+
+
+_REPO_FRESHNESS_SQL = f"""
+WITH per_repo AS (
+  SELECT repo, max(event_ts) AS last_change FROM {_EVENTS_SQL} e GROUP BY repo
+),
+head AS (SELECT max(last_change) AS h FROM per_repo)
+SELECT repo, last_change,
+       CAST(floor((epoch(h) - epoch(last_change)) / 3600) AS BIGINT)
+         AS hours_behind_head
+FROM per_repo CROSS JOIN head
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (region→nation→customer→orders→lineitem
+    ⋈ supplier on same-nation) + grouped revenue — the deep broadcast-chain
+    join plan."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_REGIONAL_REVENUE_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
 def q_batch_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch lifecycle ledger (A6 + reference batch list/supersede,
     batch_manager.py:387-394): per-batch event counts and CURRENT status
@@ -855,6 +949,21 @@ def q_embedding_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "rank", "neighbor_id")
 
 
+def q_embedding_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-5 (rows-only — approximate by
+    design; recall vs brute force asserted in tests/test_training_ops.py)."""
+    from ..functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        k=5,
+        n_centroids=16,
+        n_probe=6,
+    ).select("query_id", "rank", "neighbor_id")
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rows-only — nested window minima in ANSI SQL
     would be a page of lateral joins; determinism is covered by tests)."""
@@ -989,6 +1098,9 @@ WHERE e.op = 'D'
     "class_properties": QueryEntry(q_class_properties, _CLASS_PROPS_SQL),
     "class_individuals": QueryEntry(q_class_individuals, _CLASS_INDIVIDUALS_SQL),
     "node_neighbors": QueryEntry(q_node_neighbors, _NODE_NEIGHBORS_SQL),
+    "subject_provenance": QueryEntry(q_subject_provenance, _SUBJECT_PROV_SQL),
+    "repo_freshness": QueryEntry(q_repo_freshness, _REPO_FRESHNESS_SQL),
+    "regional_revenue": QueryEntry(q_regional_revenue, _REGIONAL_REVENUE_SQL),
     "batch_ledger": QueryEntry(q_batch_ledger, _BATCH_LEDGER_SQL),
     "pricing_summary": QueryEntry(
         q_pricing_summary,
@@ -1110,6 +1222,7 @@ FROM t GROUP BY event_type""",
     "ngram_jaccard_dups": QueryEntry(q_ngram_jaccard_dups, _JACCARD_SQL),
     "embedding_near_dups": QueryEntry(q_embedding_near_dups, _EMB_DUP_SQL),
     "embedding_lsh_knn": QueryEntry(q_embedding_lsh_knn, None),
+    "embedding_ivf_knn": QueryEntry(q_embedding_ivf_knn, None),
     "doc_fingerprints": QueryEntry(q_doc_fingerprints, None),
     "embedding_knn": QueryEntry(
         q_embedding_knn,

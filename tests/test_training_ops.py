@@ -134,6 +134,26 @@ def test_lsh_topk_recall(emb):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_and_probe_tradeoff(emb):
+    qs = emb.where(F.col("vec_id") < 10)
+    corpus = emb.where(F.col("vec_id") >= 10)
+    bf = similarity.brute_force_topk(qs, corpus, k=5)
+
+    def recall(n_probe):
+        ap = similarity.ivf_topk(
+            qs, corpus, k=5, n_centroids=16, n_probe=n_probe
+        )
+        hits = bf.select("query_id", "neighbor_id").intersect(
+            ap.select("query_id", "neighbor_id")
+        )
+        return hits.count() / bf.count()
+
+    r_wide = recall(16)  # probing every list == exhaustive → recall 1.0
+    assert r_wide == 1.0, f"full-probe IVF must be exact, got {r_wide}"
+    r6 = recall(6)
+    assert r6 >= 0.6, f"IVF recall too low at n_probe=6: {r6}"
+
+
 def test_lang_id_and_quality(docs):
     out = text.with_lang_id(text.with_quality(text.with_token_stats(docs)))
     row = out.first()
