@@ -200,6 +200,41 @@ def cmd_export(args) -> None:
     print(json.dumps({"exported": args.what, "to": args.out, "rows": n}))
 
 
+def cmd_archive(args) -> None:
+    """ARCHIVED transition for one batch (reference batch_cli archive)."""
+    from .streaming.cdc import CdcEngine
+
+    spark = _spark(args.cores)
+    eng = CdcEngine(spark, args.warehouse)
+    eng.archive_batch(args.batch)
+    row = (
+        eng.ledger_view().where(f"batch_id = '{args.batch}'").first()
+    )
+    print(json.dumps({"batch_id": args.batch, "status": row["status"] if row else None}))
+
+
+def cmd_retention(args) -> None:
+    """Expire old snapshots + mark unreachable batches PURGED (reference
+    batch_manager.py:594-605 delete-older-than)."""
+    from .streaming.cdc import CdcEngine
+
+    spark = _spark(args.cores)
+    eng = CdcEngine(spark, args.warehouse)
+    res = eng.retention(keep_last_versions=args.keep_last)
+    print(json.dumps(res))
+
+
+def cmd_load(args) -> None:
+    """S11: load an N-Quads (or exported TriG) file into a parquet triples
+    table (reference rdf-workbench.py:99-133 load_rdf_file)."""
+    from .sinks.rdf_text import read_nquads
+
+    spark = _spark(args.cores)
+    df = read_nquads(spark, args.infile)
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"loaded": args.infile, "to": args.out, "quads": df.count()}))
+
+
 def cmd_provenance(args) -> None:
     from pyspark.sql import functions as F
 
@@ -273,6 +308,21 @@ def main(argv: list[str] | None = None) -> None:
                    help="export the state as of this ledger batch id")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("archive")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--batch", required=True)
+    p.set_defaults(fn=cmd_archive)
+
+    p = sub.add_parser("retention")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--keep-last", type=int, default=4)
+    p.set_defaults(fn=cmd_retention)
+
+    p = sub.add_parser("load")
+    p.add_argument("--infile", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_load)
 
     p = sub.add_parser("provenance")
     p.add_argument("--warehouse", required=True)

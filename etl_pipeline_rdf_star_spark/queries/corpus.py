@@ -474,6 +474,61 @@ FROM u JOIN focus ON u.subject = focus.f
 """
 
 
+_GRAPHED_YAML = """
+prefixes:
+  ex: http://example.org/
+  dct: http://purl.org/dc/terms/
+mappings:
+  core:
+    sources: [[repo_files~parquet]]
+    s: ex:file/$(repo)/$(path)
+    graphs: ex:graph/core
+    po:
+      - [dct:identifier, $(path)]
+      - p: ex:commit
+        o: $(commit)
+  lang:
+    sources: [[repo_files~parquet]]
+    s: ex:file/$(repo)/$(path)
+    po:
+      - p: ex:lang
+        o: $(lang)
+        graphs: ex:graph/lang
+"""
+
+
+def q_graph_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 per-NAMED-graph census (sparql/batch_queries.rq:664-674;
+    workbench graph census rdf-workbench.py:203-208): a mapping with
+    mapping-level AND po-level ``graphs:`` materialized over the lake
+    state, counted per graph."""
+    from ..mapping.parser import parse_document
+    from ..operators.materialize import materialize_document
+
+    state = _final_state(spark, sf_dir)
+    ir = parse_document(_GRAPHED_YAML)
+    sources = {tm: prepare_input(state) for tm in ir.triples_maps}
+    triples, _ = materialize_document(sources, ir)
+    return triples.groupBy("graph").agg(
+        F.count("*").alias("n_quads"),
+        F.countDistinct("subject").alias("n_subjects"),
+    )
+
+
+_GRAPH_CENSUS_SQL = f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f)
+SELECT 'http://example.org/graph/core' AS graph,
+       CAST(2 * count(*) AS BIGINT) AS n_quads,
+       count(DISTINCT {_SUBJ}) AS n_subjects
+FROM final
+UNION ALL
+SELECT 'http://example.org/graph/lang',
+       CAST(count(*) AS BIGINT),
+       count(DISTINCT {_SUBJ})
+FROM final
+"""
+
+
 def q_subject_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance lookup for one subject (batch_manager.py:641-696 /
     workbench provenance panel): every annotation record on the focus
@@ -1098,6 +1153,7 @@ WHERE e.op = 'D'
     "class_properties": QueryEntry(q_class_properties, _CLASS_PROPS_SQL),
     "class_individuals": QueryEntry(q_class_individuals, _CLASS_INDIVIDUALS_SQL),
     "node_neighbors": QueryEntry(q_node_neighbors, _NODE_NEIGHBORS_SQL),
+    "graph_census": QueryEntry(q_graph_census, _GRAPH_CENSUS_SQL),
     "subject_provenance": QueryEntry(q_subject_provenance, _SUBJECT_PROV_SQL),
     "repo_freshness": QueryEntry(q_repo_freshness, _REPO_FRESHNESS_SQL),
     "regional_revenue": QueryEntry(q_regional_revenue, _REGIONAL_REVENUE_SQL),

@@ -142,3 +142,29 @@ def test_cli_export_batch_scoped_nquads(tmp_path, capsys, sf_dir):
             ["export", "--warehouse", wh, "--what", "triples",
              "--batch", "nope", "--out", str(tmp_path / "x")]
         )
+
+
+def test_cli_lifecycle_and_load(tmp_path, capsys, sf_dir):
+    """archive/retention/load subcommands (reference batch_cli parity)."""
+    from etl_pipeline_rdf_star_spark import cli
+
+    wh = str(tmp_path / "wh4")
+    cli.main(["replay", "--warehouse", wh, "--sf-dir", sf_dir, "--batches", "2"])
+    capsys.readouterr()
+
+    cli.main(["archive", "--warehouse", wh, "--batch", "replay-00000"])
+    a = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a["status"] == "ARCHIVED"
+
+    cli.main(["retention", "--warehouse", wh, "--keep-last", "1"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["expired_versions"] >= 1 and r["purged_batches"] >= 1
+
+    out = str(tmp_path / "nq")
+    cli.main(["export", "--warehouse", wh, "--what", "triples",
+              "--fmt", "nquads", "--out", out])
+    e = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    loaded = str(tmp_path / "loaded")
+    cli.main(["load", "--infile", out, "--out", loaded])
+    ld = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ld["quads"] == e["rows"]

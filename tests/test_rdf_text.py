@@ -149,3 +149,51 @@ def test_rdflib_parses_export_if_available(spark, tmp_path):
     ds = rdflib.Dataset()
     ds.parse(data=text, format="nquads")
     assert len(list(ds.quads((None, None, None, None)))) == len(NASTY)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters=["\x00"]
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_escape_roundtrip_arbitrary_text(spark, tmp_path_factory, texts):
+    """Property: ANY literal text (quotes, backslashes, newlines, tabs,
+    unicode — everything but NUL, which parquet text files cannot carry)
+    survives N-Quads escape → write → parse → unescape bit-identically."""
+    rows = [
+        (f"http://example.org/s{i}", t, "literal")
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "subject string, object string, object_kind string"
+    ).selectExpr(
+        "subject",
+        "'http://example.org/p' AS predicate",
+        "object",
+        "CAST(NULL AS STRING) AS object_datatype",
+        "CAST(NULL AS STRING) AS object_lang",
+        "object_kind",
+        "CAST(NULL AS STRING) AS graph",
+    )
+    out = str(tmp_path_factory.mktemp("escnq"))
+    nquads_lines(df).write.mode("overwrite").text(out)
+    back = read_nquads(spark, out)
+    got = {(r["subject"], r["object"]) for r in back.collect()}
+    want = {(s, t) for s, t, _ in rows}
+    assert got == want
