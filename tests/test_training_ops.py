@@ -316,3 +316,35 @@ mappings:
         "http://example.org/person/1": "http://example.org/city/10",
         "http://example.org/person/2": "http://example.org/city/20",
     }
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark, emb):
+    """The LSH scale path finds the same above-threshold pairs as the exact
+    cross join, and never reports a below-threshold pair (exact verify
+    stage). The sf corpus has no ≥0.9 pairs, so PLANT near-duplicates:
+    copies of real vectors with one coordinate nudged."""
+    base = emb.where(F.col("vec_id") < 60).select("vec_id", "embedding")
+    elem_type = dict(base.dtypes)["embedding"]
+    planted = base.where(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 1000).cast(dict(base.dtypes)["vec_id"]).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        )
+        .cast(elem_type)
+        .alias("embedding"),
+    )
+    sub = base.unionByName(planted)
+    exact = {
+        (r.id_a, r.id_b) for r in dedup.embedding_near_dup_pairs(
+            sub, threshold=0.95
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b) for r in dedup.embedding_near_dup_pairs_lsh(
+            sub, threshold=0.95
+        ).collect()
+    }
+    assert len(exact) >= 6  # every planted copy pairs with its original
+    assert approx <= exact  # verify stage: no false positives, ever
+    assert len(approx) / len(exact) >= 0.8
