@@ -30,6 +30,12 @@ N = int(os.environ.get("SCALE_N", "8"))
 ROUNDS = int(os.environ.get("SCALE_ROUNDS", "5"))
 MULT = int(os.environ.get("SCALE_EVENT_MULT", "8"))
 REPEAT = int(os.environ.get("SCALE_CONTENT_REPEAT", "8"))
+# SCALE_WEAK=1: weak scaling (Gustafson) — the high level processes 4× the
+# events so per-core work density matches; efficiency = (hi/4)/lo on
+# per-event rate. The strong-scaling run (same input both levels) stays the
+# headline; weak scaling shows fixed per-batch costs amortize identically
+# as the cluster grows WITH the data — the actual 10^10-event question.
+WEAK = os.environ.get("SCALE_WEAK", "0") == "1"
 
 
 def _host_ceiling(n: int) -> float | None:
@@ -63,12 +69,19 @@ def main() -> None:
     p = synth.scale_params(synth.n_docs(SF_DIR))
     nf, ne = p.n_files * MULT, p.n_events * MULT
 
-    # one cached event log per parallelism level, reused across rounds
+    # one cached event log per parallelism level, reused across rounds;
+    # weak scaling gives the high level 4× the events (same work density)
+    n_events_for = {N: ne, hi_cores: ne * 4 if WEAK else ne}
     cached: dict[int, object] = {}
     for par in (N, hi_cores):
+        ne_p = n_events_for[par]
         ev = (
             synth.cdc_events(
-                spark, SF_DIR, n_files=nf, n_events=ne, content_repeat=REPEAT
+                spark,
+                SF_DIR,
+                n_files=nf * (ne_p // ne),
+                n_events=ne_p,
+                content_repeat=REPEAT,
             )
             .repartition(par)
             .persist()
@@ -79,18 +92,19 @@ def main() -> None:
     def run(par: int) -> dict:
         spark.conf.set("spark.sql.shuffle.partitions", str(par))
         ev = cached[par]
+        ne_p = n_events_for[par]
         wh = tempfile.mkdtemp(prefix=f"is{par}_", dir="/dev/shm")
         try:
             # merge-on-read: the sustained-ingest path the north rule
             # benchmarks (single shuffle + write per micro-batch)
             eng = CdcEngine(spark, wh, n_buckets=par * 2, mode="mor")
             t0 = time.perf_counter()
-            eng.replay(ev, num_batches=2, id_prefix="s", seq_hi=ne - 1)
+            eng.replay(ev, num_batches=2, id_prefix="s", seq_hi=ne_p - 1)
             dt = time.perf_counter() - t0
         finally:
             shutil.rmtree(wh, ignore_errors=True)
-        return {"par": par, "n_events": ne, "sec": round(dt, 3),
-                "events_per_sec": round(ne / dt, 1)}
+        return {"par": par, "n_events": ne_p, "sec": round(dt, 3),
+                "events_per_sec": round(ne_p / dt, 1)}
 
     # warm both paths once (codegen compile, parquet reader init)
     run(N)
@@ -124,6 +138,7 @@ def main() -> None:
         ),
         "sf_dir": SF_DIR,
         "n_events": ne,
+        "weak_scaling": WEAK,
         "content_repeat": REPEAT,
         "rounds": rounds,
         "low_evps": lows,
@@ -136,7 +151,8 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from scaling_common import write_method
 
-    headline = write_method("inline_warm_jvm", report)
+    name = "inline_warm_jvm_weak" if WEAK else "inline_warm_jvm"
+    headline = write_method(name, report)
     print(json.dumps(headline))
 
 
