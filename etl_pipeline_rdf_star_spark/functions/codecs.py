@@ -24,30 +24,52 @@ import numpy as np
 # -- PPM (P6) ---------------------------------------------------------------
 
 
-def decode_ppm(data: bytes) -> np.ndarray:
-    """P6 PPM → uint8 array of shape (h, w, 3). Handles comments and
-    arbitrary header whitespace per the netpbm spec."""
-    if not data.startswith(b"P6"):
+def _parse_ppm_header(data: bytes, pos: int = 0) -> tuple[int, int, int, int]:
+    """Parse a P6 header at ``pos`` → (width, height, maxval, data_offset).
+    Strictly bounded: truncated or garbage input raises ValueError instead
+    of scanning off the end (an unbounded scan here hung executors on
+    corrupt payloads — review finding)."""
+    n = len(data)
+    if data[pos : pos + 2] != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
-    pos = 2
+    pos += 2
     fields: list[int] = []
     while len(fields) < 3:
-        while pos < len(data) and data[pos : pos + 1].isspace():
+        while pos < n and data[pos : pos + 1].isspace():
             pos += 1
+        if pos >= n:
+            raise ValueError("truncated PPM header")
         if data[pos : pos + 1] == b"#":  # comment to end of line
-            while pos < len(data) and data[pos : pos + 1] != b"\n":
+            while pos < n and data[pos : pos + 1] != b"\n":
                 pos += 1
+            if pos >= n:
+                raise ValueError("truncated PPM comment")
             continue
         start = pos
-        while pos < len(data) and not data[pos : pos + 1].isspace():
+        while pos < n and not data[pos : pos + 1].isspace():
             pos += 1
-        fields.append(int(data[start:pos]))
+        try:
+            fields.append(int(data[start:pos]))
+        except ValueError as e:
+            raise ValueError(f"bad PPM header field: {data[start:pos]!r}") from e
+    if pos >= n:
+        raise ValueError("truncated PPM header")
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
-    n = w * h * 3
-    arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PPM dimensions {w}x{h}")
+    if pos + w * h * 3 > n:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, maxval, pos
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """P6 PPM → uint8 array of shape (h, w, 3). Handles comments and
+    arbitrary header whitespace per the netpbm spec."""
+    w, h, _, pos = _parse_ppm_header(data)
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
     return arr.reshape(h, w, 3)
 
 
@@ -56,32 +78,16 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
-def ppm_size(data: bytes) -> int:
-    """Byte length of the PPM starting at offset 0 (for stream splitting)."""
-    arr_start = _ppm_data_offset(data)
-    w, h = ppm_dims(data)
-    return arr_start + w * h * 3
+def ppm_size(data: bytes, pos: int = 0) -> int:
+    """Byte length of the PPM starting at ``pos`` (for stream splitting) —
+    header-only parse, no pixel copy."""
+    w, h, _, data_off = _parse_ppm_header(data, pos)
+    return data_off - pos + w * h * 3
 
 
 def ppm_dims(data: bytes) -> tuple[int, int]:
-    img = decode_ppm(data)  # cheap: frombuffer is zero-copy
-    return img.shape[1], img.shape[0]
-
-
-def _ppm_data_offset(data: bytes) -> int:
-    pos = 2
-    fields = 0
-    while fields < 3:
-        while data[pos : pos + 1].isspace():
-            pos += 1
-        if data[pos : pos + 1] == b"#":
-            while data[pos : pos + 1] != b"\n":
-                pos += 1
-            continue
-        while not data[pos : pos + 1].isspace():
-            pos += 1
-        fields += 1
-    return pos + 1
+    w, h, _, _ = _parse_ppm_header(data)
+    return w, h
 
 
 def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -94,11 +100,15 @@ def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
 
 def split_ppm_stream(data: bytes) -> list[bytes]:
     """Split a concatenated-PPM 'video' payload into frames (each frame's
-    header states its own size — no container index needed)."""
+    header states its own size — no container index needed). Linear: each
+    header is parsed once at its offset, no tail copies (the previous
+    data[pos:] slicing was O(n²) in payload size — review finding).
+    Truncated trailing bytes raise (strict: a corrupt payload must fail
+    the task, not hang or silently drop frames)."""
     frames = []
     pos = 0
     while pos < len(data):
-        size = ppm_size(data[pos:])
+        size = ppm_size(data, pos)
         frames.append(data[pos : pos + size])
         pos += size
     return frames

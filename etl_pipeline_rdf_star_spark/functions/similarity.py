@@ -123,18 +123,25 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic coarse quantizer: a systematic sample of the corpus
-    (every ⌈N/n⌉-th vector by id) — (centroid_id, cvec). Small by
-    construction: broadcast everywhere it joins."""
-    w = Window.orderBy(id_col)
+    """Deterministic coarse quantizer — (centroid_id, cvec), small by
+    construction (broadcast everywhere it joins).
+
+    Scale-safe selection: a HASH filter (xxhash64(id) % stride == 0) picks
+    ~n_centroids candidates in one distributed pass — no global sort of
+    the corpus (a full-corpus Window.orderBy would funnel every vector
+    through one task; review finding). Only the ~n_centroids survivors go
+    through the tiny ordering window that assigns stable centroid ids."""
     n = corpus.count()
     stride = max(1, n // n_centroids)
+    cand = corpus.where(
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(stride)) == 0
+    )
+    w = Window.orderBy(id_col)  # over ≈ n_centroids rows only
     return (
-        corpus.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") % stride == 1) | (F.lit(stride) == 1))
-        .limit(n_centroids)
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_centroids)
         .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("centroid_id"),
+            (F.col("_rn") - 1).alias("centroid_id"),
             _as_double(vec_col).alias("cvec"),
         )
     )

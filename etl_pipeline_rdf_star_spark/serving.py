@@ -47,18 +47,31 @@ def register_views(
     return sorted(views)
 
 
-def _term(value: Any, datatype: str | None = None, lang: str | None = None) -> dict:
+def _term(
+    value: Any,
+    datatype: str | None = None,
+    lang: str | None = None,
+    kind: str | None = None,
+) -> dict:
     """One RDF term in SPARQL-JSON form (reference binding conversion at
-    fastapi_sparql_server.py:242-338). Engine conventions: deterministic
-    reifiers ``b<sha256hex>`` are blank nodes; IRI-schemed strings are
-    uris; everything else is a (possibly typed/tagged) literal."""
+    fastapi_sparql_server.py:242-338). When the relation carries an
+    explicit term ``kind`` column (iri|literal|blank) it is AUTHORITATIVE —
+    value sniffing misclassifies literals that merely look like IRIs or
+    reifier hashes (review finding). Sniffing remains the fallback for
+    kind-less frames: deterministic reifiers ``b<sha256hex>`` are blank
+    nodes; IRI-schemed strings are uris; everything else a literal."""
     if value is None:
         return {}
     s = str(value)
-    if isinstance(value, str) and _BNODE_RE.match(s):
-        return {"type": "bnode", "value": s}
-    if isinstance(value, str) and _IRI_RE.match(s):
+    if kind == "iri":
         return {"type": "uri", "value": s}
+    if kind == "blank":
+        return {"type": "bnode", "value": s}
+    if kind is None:
+        if isinstance(value, str) and _BNODE_RE.match(s):
+            return {"type": "bnode", "value": s}
+        if isinstance(value, str) and _IRI_RE.match(s):
+            return {"type": "uri", "value": s}
     out: dict[str, Any] = {"type": "literal", "value": s}
     if lang:
         out["xml:lang"] = lang
@@ -85,6 +98,7 @@ def to_sparql_json(df: DataFrame, limit: int = 10_000) -> dict:
     ``quoted`` struct renders as an RDF-star triple term."""
     rows = df.limit(limit).collect()
     cols = df.columns
+    _FOLDED = {"object_datatype", "object_lang", "object_kind", "subject_kind"}
     bindings = []
     for r in rows:
         b: dict[str, Any] = {}
@@ -92,14 +106,19 @@ def to_sparql_json(df: DataFrame, limit: int = 10_000) -> dict:
             v = r[c]
             if v is None:
                 continue  # unbound variable: omitted, per the spec
-            if c == "object" and "object_datatype" in cols:
+            if c == "object" and (
+                "object_datatype" in cols or "object_kind" in cols
+            ):
                 b[c] = _term(
                     v,
                     datatype=r["object_datatype"] if "object_datatype" in cols else None,
                     lang=r["object_lang"] if "object_lang" in cols else None,
+                    kind=r["object_kind"] if "object_kind" in cols else None,
                 )
-            elif c in {"object_datatype", "object_lang", "object_kind"}:
-                continue  # folded into the object term
+            elif c == "subject" and "subject_kind" in cols:
+                b[c] = _term(v, kind=r["subject_kind"])
+            elif c in _FOLDED:
+                continue  # folded into their term's binding
             elif c == "quoted" and hasattr(v, "asDict"):
                 q = v.asDict()
                 b[c] = {
@@ -113,7 +132,5 @@ def to_sparql_json(df: DataFrame, limit: int = 10_000) -> dict:
             else:
                 b[c] = _term(v)
         bindings.append(b)
-    head_vars = [
-        c for c in cols if c not in {"object_datatype", "object_lang", "object_kind"}
-    ]
+    head_vars = [c for c in cols if c not in _FOLDED]
     return {"head": {"vars": head_vars}, "results": {"bindings": bindings}}

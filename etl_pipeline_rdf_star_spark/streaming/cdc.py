@@ -91,14 +91,28 @@ def wide_columns(
     # the wide row carries EVERY asserted map that shares the primary
     # map's subject (the flagship's `file` + `file_lang` both mint
     # ex:file/$(repo)/$(path)) — one column per emission rule, so the
-    # stored table is self-sufficient for serving
+    # stored table is self-sufficient for serving. ``covers_all`` tracks
+    # whether the wide row represents the WHOLE mapping: an asserted map
+    # with a different subject, any J3 mapping-ref / quoted-ref object, or
+    # an inverse predicate cannot be reconstructed from a stored value, so
+    # the fast serving path must fall back to recompilation (review
+    # finding: the round-2 fast path silently dropped those triples).
     primary = ir.triples_maps[asserted_tm]
+    covers_all = True
     patterns = list(compile_asserted_patterns(ir, asserted_tm))
     for tm_ in ir.asserted_maps():
+        for po in tm_.predicate_objects:
+            if po.inverse_predicates:
+                covers_all = False
+            for obj in po.objects:
+                if obj.mapping_ref is not None or obj.quoted_ref is not None:
+                    covers_all = False
         if tm_.name == asserted_tm:
             continue
         if tm_.subject.templates == primary.subject.templates:
             patterns.extend(compile_asserted_patterns(ir, tm_.name))
+        else:
+            covers_all = False  # its triples never reach the wide row
     subj = patterns[0].subject
     cols.append(subj.cast("string").alias("subject"))
     for p in patterns:
@@ -134,6 +148,7 @@ def wide_columns(
             ),
         )
         ann_fields = [reifier.alias("reifier"), quoted.alias("quoted")]
+        ann_dynamic = False
         # annotation predicate-objects compiled against the same (prepared)
         # input row — 1:1 per file here; the general N:M path lives in
         # operators.materialize.materialize_annotations
@@ -152,25 +167,41 @@ def wide_columns(
                         .cast("string")
                         .alias(name)
                     )
-                    const_dt = (
-                        None
-                        if obj.datatype is None
-                        or TEMPLATE_REF_RE.search(obj.datatype)
-                        else _expand(ir, obj.datatype)
+                    dyn_dt = bool(
+                        obj.datatype and TEMPLATE_REF_RE.search(obj.datatype)
                     )
+                    dyn_lang = bool(
+                        obj.language and TEMPLATE_REF_RE.search(obj.language)
+                    )
+                    if dyn_dt or dyn_lang:
+                        # per-row datatype/lang isn't stored in the wide
+                        # struct — annotations must recompute (review
+                        # finding: the fast path served NULL / the raw
+                        # template text here)
+                        ann_dynamic = True
                     ann_meta.append(
-                        (name, pred_iri, obj.kind or "literal", const_dt,
-                         obj.language)
+                        (
+                            name,
+                            pred_iri,
+                            obj.kind or "literal",
+                            None if dyn_dt or obj.datatype is None
+                            else _expand(ir, obj.datatype),
+                            None if dyn_lang else obj.language,
+                        )
                     )
         cols.append(F.struct(*ann_fields).alias("annotation"))
-        if tm.graphs or any(po.graphs for po in tm.predicate_objects):
-            # named-graph annotations need the recompute path
+        if (
+            tm.graphs
+            or any(po.graphs for po in tm.predicate_objects)
+            or ann_dynamic
+        ):
+            # named-graph or dynamic-metadata annotations: recompute path
             ann_meta = []
     return WideLayout(
         cols=cols,
         asserted=asserted_meta,
         annotation=ann_meta,
-        static=all(p.meta_static for _, p in asserted_meta),
+        static=covers_all and all(p.meta_static for _, p in asserted_meta),
     )
 
 
@@ -262,12 +293,22 @@ class CdcEngine:
         column scan and re-running the mapping over the payload.
         With an explicit ``state`` (time travel, ad-hoc frames) or a
         dynamic-datatype mapping, falls back to recompiling."""
-        if state is None and self._layout.static:
+        if state is None and self._layout.static and self._wide_columns_stored():
             return self._triples_from_wide(self.live_rows())
         state = state if state is not None else self.current_state()
         sources = {tm.name: prepare_input(state) for tm in self.ir.triples_maps.values()}
         triples, _ = materialize_document(sources, self.ir)
         return triples
+
+    def _wide_columns_stored(self) -> bool:
+        """Fast path requires every layout column in the STORED schema —
+        tables written by an older mapping (pre-evolution, or before a
+        column existed) must recompute until the next batch materializes
+        the new columns (review finding: unguarded select crashed)."""
+        if not self.table.exists():
+            return False
+        stored = set(self.table.read().columns)
+        return {"subject", *(n for n, _ in self._layout.asserted)} <= stored
 
     def _triples_from_wide(self, wide: DataFrame) -> DataFrame:
         from ..operators.materialize import TRIPLE_COLS
@@ -589,8 +630,13 @@ class CdcEngine:
                 "status_seq": sseq,
             }
         ]
+        # Supersede the previous batch whenever THIS ledger commit is new —
+        # including the crash-recovery retry (stats.skipped but no ledger
+        # row yet); a pure re-delivery is skipped wholesale by append_rows'
+        # batch-id idempotence, so no double transition can occur (review
+        # finding: the recovery path left two ACTIVE batches).
         prev = self._previous_data_batch(batch_id)
-        if prev is not None and not stats.skipped:
+        if prev is not None:
             rows.append(
                 {"batch_id": prev, "status": "SUPERSEDED", "status_seq": sseq}
             )

@@ -348,3 +348,61 @@ def test_stateful_running_repo_stats(spark, tmp_path, events):
         .collect()
     }
     assert got == want
+
+
+def test_wide_fast_path_gating(spark, tmp_path, events):
+    """Review regressions: the stored-wide serving fast path must fall back
+    (not crash / not silently drop triples) when the mapping has shapes the
+    wide row cannot represent, and during the evolve->next-batch window."""
+    from etl_pipeline_rdf_star_spark.mapping.parser import parse_document
+    from etl_pipeline_rdf_star_spark.streaming.cdc import wide_columns
+
+    # J3 mapping-ref object → not wide-servable
+    y = """
+prefixes: {ex: http://example.org/}
+mappings:
+  file:
+    sources: [[repo_files~parquet]]
+    s: ex:file/$(repo)/$(path)
+    po:
+      - [ex:lang, $(lang)]
+  owner:
+    sources: [[repo_files~parquet]]
+    s: ex:repo/$(repo)
+    po:
+      - [ex:name, $(repo)]
+  link:
+    sources: [[repo_files~parquet]]
+    s: ex:file/$(repo)/$(path)
+    po:
+      - p: ex:ownedBy
+        o:
+          mapping: owner
+          condition:
+            function: equal
+            parameters: [[str1, $(repo)], [str2, $(repo)]]
+"""
+    layout = wide_columns(parse_document(y), "file", None)
+    assert not layout.static  # mapping-ref + different-subject map present
+
+    # evolve window: new column not yet stored → recompute path, no crash
+    eng = _engine(spark, tmp_path)
+    eng.apply_batch(events.where(F.col("seq") < 500), "g-0")
+    n_before = eng.triples_view().count()
+    eng.evolve_add_predicate("file", "ex:extra", "$(lang)")
+    assert not eng._wide_columns_stored()  # p_extra missing on disk
+    n_evolved = eng.triples_view().count()  # falls back to recompute
+    assert n_evolved > n_before  # one more triple per live file
+    eng.apply_batch(events.where((F.col("seq") >= 500) & (F.col("seq") < 600)), "g-1")
+
+
+def test_recovery_supersedes_previous_batch(spark, tmp_path, events):
+    """Review regression: the crash-recovery retry must still flip the
+    previous batch to SUPERSEDED (it previously left two ACTIVE rows)."""
+    eng = CdcEngine(spark, str(tmp_path / "morsup"), mode="mor")
+    eng.apply_batch(events.where(F.col("seq") < 100), "s-0")
+    chunk = events.where((F.col("seq") >= 100) & (F.col("seq") < 200))
+    eng.table.merge_mor(eng.materialize_wide(chunk).drop("op"), "s-1")  # crash sim
+    eng.apply_batch(chunk, "s-1")  # retry: data skipped, ledger recovered
+    statuses = {r["batch_id"]: r["status"] for r in eng.ledger_view().collect()}
+    assert statuses == {"s-0": "SUPERSEDED", "s-1": "ACTIVE"}

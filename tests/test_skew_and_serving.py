@@ -153,3 +153,26 @@ def test_sql_serving_views(spark, tmp_path, sf_dir):
     ).collect()
     assert len(joined) == 4  # 4 annotation predicates, all quoted facts join
     assert spark.sql("SELECT * FROM batches").count() == 2
+
+
+def test_sparql_json_respects_kind_columns(spark):
+    """Review regression: explicit object_kind/subject_kind override value
+    sniffing, and subject_kind never leaks as a binding variable."""
+    from etl_pipeline_rdf_star_spark.serving import to_sparql_json
+
+    df = spark.createDataFrame(
+        [
+            ("http://example.org/s", "iri", "urn:isbn:123", "literal"),
+            ("b" + "0" * 64, "blank", "http://looks-like-iri", "literal"),
+            ("http://example.org/s2", "iri", "b" + "1" * 64, "literal"),
+        ],
+        "subject string, subject_kind string, object string, object_kind string",
+    )
+    doc = to_sparql_json(df)
+    assert doc["head"]["vars"] == ["subject", "object"]
+    b0, b1, b2 = doc["results"]["bindings"]
+    assert b0["object"]["type"] == "literal"  # urn: but kind says literal
+    assert b1["subject"]["type"] == "bnode"
+    assert b1["object"]["type"] == "literal"  # http-ish but kind says literal
+    assert b2["object"]["type"] == "literal"  # hash-shaped but literal
+    assert all("subject_kind" not in b for b in doc["results"]["bindings"])

@@ -348,3 +348,22 @@ def test_embedding_near_dup_lsh_matches_exact(spark, emb):
     assert len(exact) >= 6  # every planted copy pairs with its original
     assert approx <= exact  # verify stage: no false positives, ever
     assert len(approx) / len(exact) >= 0.8
+
+
+def test_codecs_reject_corrupt_payloads():
+    """Review regression: truncated/garbage PPM must raise, never scan
+    unbounded (an executor previously hung forever on a corrupt frame)."""
+    from etl_pipeline_rdf_star_spark.functions import codecs
+
+    good = codecs.synth_ppm(1)
+    with pytest.raises(ValueError):
+        codecs.split_ppm_stream(good + b"xxxx")  # trailing garbage
+    with pytest.raises(ValueError):
+        codecs.decode_ppm(good[:-5])  # truncated pixel data
+    with pytest.raises(ValueError):
+        codecs.decode_ppm(b"P6\n16")  # truncated header
+    with pytest.raises(ValueError):
+        codecs.decode_ppm(b"JUNKJUNK")
+    # linear split still works on a long valid stream
+    stream = codecs.synth_ppm_video(7, n_frames=20)
+    assert len(codecs.split_ppm_stream(stream)) == 20
