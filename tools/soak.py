@@ -1,0 +1,112 @@
+"""Sustained-ingest soak: drive the REAL Structured-Streaming shell
+(readStream → foreachBatch → MoR MERGE with auto-compaction) over a
+multi-million-event log split into trigger files, then verify the final
+table state fingerprint against the independently-derived oracle.
+
+This is the 10^10-event design exercised end-to-end at the largest scale
+the sandbox fits: many micro-batches, bounded delta count via
+auto-compaction, exactly-once checkpointing, and sha256-family state
+equality at the end. Writes SOAK.json.
+
+Env: SPARK_GRAFT_SF_DIR (sf0.1), SOAK_EVENT_MULT (84 → ~5M events),
+     SOAK_FILES (10), SOAK_TRIGGER (2), SPARK_GRAFT_CPUS (32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULT = int(os.environ.get("SOAK_EVENT_MULT", "84"))
+FILES = int(os.environ.get("SOAK_FILES", "10"))
+TRIGGER = int(os.environ.get("SOAK_TRIGGER", "2"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_rdf_star_spark.data import synth
+    from etl_pipeline_rdf_star_spark.session import get_spark
+    from etl_pipeline_rdf_star_spark.storage.lake import table_fingerprint
+    from etl_pipeline_rdf_star_spark.streaming.cdc import CdcEngine
+
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    spark = get_spark("soak", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    p = synth.scale_params(synth.n_docs(SF_DIR))
+    nf, ne = p.n_files * MULT, p.n_events * MULT
+    base = tempfile.mkdtemp(prefix="soak_", dir="/dev/shm")
+    ev_dir, ckpt, wh = f"{base}/events", f"{base}/ckpt", f"{base}/wh"
+
+    # the "binlog": the event log as FILES seq-ranged parquet files appended
+    # in order (each trigger tails TRIGGER of them)
+    ev = synth.cdc_events(spark, SF_DIR, n_files=nf, n_events=ne)
+    step = (ne + FILES) // FILES
+    t0 = time.perf_counter()
+    for i in range(FILES):
+        (
+            ev.where(
+                (F.col("seq") >= i * step) & (F.col("seq") < (i + 1) * step)
+            )
+            .coalesce(max(1, CPUS // 4))
+            .write.mode("append")
+            .parquet(ev_dir)
+        )
+    gen_s = time.perf_counter() - t0
+
+    eng = CdcEngine(
+        spark, wh, n_buckets=CPUS, mode="mor", auto_compact_deltas=4
+    )
+    t0 = time.perf_counter()
+    eng.run_stream(ev_dir, ckpt, max_files_per_trigger=TRIGGER)
+    ingest_s = time.perf_counter() - t0
+
+    snap = eng.table.snapshot()
+    ops = [eng.table.snapshot(v).operation for v in eng.table.versions()]
+    t0 = time.perf_counter()
+    got = table_fingerprint(
+        eng.current_state(), ["repo", "path", "commit", "lang", "content"]
+    )
+    want = table_fingerprint(
+        synth.expected_final_state(spark, SF_DIR, n_files=nf, n_events=ne),
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    verify_s = time.perf_counter() - t0
+
+    report = {
+        "sf_dir": SF_DIR,
+        "n_events": ne,
+        "n_files_live": got["rows"],
+        "trigger_files": FILES,
+        "max_files_per_trigger": TRIGGER,
+        "micro_batches": sum(1 for o in ops if o in {"merge_mor", "create"}),
+        "compactions": sum(1 for o in ops if o == "compact"),
+        "data_files_final": len(snap.files),
+        "generate_sec": round(gen_s, 1),
+        "ingest_sec": round(ingest_s, 1),
+        "events_per_sec_sustained": round(ne / ingest_s, 1),
+        "verify_sec": round(verify_s, 1),
+        "state_matches_oracle": got == want,
+        "fingerprint": got,
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SOAK.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    if not report["state_matches_oracle"]:
+        raise SystemExit("SOAK FAILED: state mismatch")
+
+
+if __name__ == "__main__":
+    main()
