@@ -201,16 +201,21 @@ def cmd_export(args) -> None:
 
 
 def cmd_archive(args) -> None:
-    """ARCHIVED transition for one batch (reference batch_cli archive)."""
+    """ARCHIVED transition for one batch (reference batch_cli archive).
+    Unknown ids fail BEFORE any ledger write (a typo must not persist a
+    phantom status row)."""
+    from pyspark.sql import functions as F
+
     from .streaming.cdc import CdcEngine
 
     spark = _spark(args.cores)
     eng = CdcEngine(spark, args.warehouse)
+    row = eng.ledger_view().where(F.col("batch_id") == args.batch).first()
+    if row is None:
+        raise SystemExit(f"unknown batch id: {args.batch}")
     eng.archive_batch(args.batch)
-    row = (
-        eng.ledger_view().where(f"batch_id = '{args.batch}'").first()
-    )
-    print(json.dumps({"batch_id": args.batch, "status": row["status"] if row else None}))
+    row = eng.ledger_view().where(F.col("batch_id") == args.batch).first()
+    print(json.dumps({"batch_id": args.batch, "status": row["status"]}))
 
 
 def cmd_retention(args) -> None:

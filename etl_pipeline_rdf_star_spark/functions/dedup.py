@@ -297,29 +297,23 @@ def embedding_near_dup_pairs_lsh(
     ``n_tables`` tables; exact cosine verifies each candidate. High
     thresholds are exactly where LSH recall is strongest (near-identical
     vectors collide in almost every table)."""
-    from .similarity import _dot, _norm, lsh_signatures
+    from .similarity import _dot, _norm, lsh_candidate_pairs
 
-    sigs = lsh_signatures(emb, id_col, vec_col, n_tables, n_planes)
-    a = sigs.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "sig"
-    )
-    b = sigs.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "table", "sig"
-    )
-    cand = (
-        a.join(b, on=["table", "sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "va", "id_b", "vb")
-        .distinct()
+    cand = lsh_candidate_pairs(
+        emb, emb, id_col, vec_col, n_tables, n_planes, symmetric=True
     )
     cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
         6,
     )
     return (
         cand.withColumn("cos", cos)
         .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cos",
+        )
     )
 
 

@@ -43,6 +43,26 @@ def _dot(a, b) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _rerank(cand: DataFrame, k: int) -> DataFrame:
+    """Shared exact-rerank tail for every top-k path: cosine on the
+    candidate's (qv, cv) pair, deterministic tie-break, top-k per query.
+    One implementation so brute/LSH/IVF can never silently diverge."""
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -57,20 +77,7 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     )
-    j = q.join(c, how="cross").select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-            6,
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        j.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos")
-    )
+    return _rerank(q.join(c, how="cross"), k)
 
 
 def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
@@ -122,6 +129,7 @@ def ivf_centroids(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Deterministic coarse quantizer — (centroid_id, cvec), small by
     construction (broadcast everywhere it joins).
@@ -130,8 +138,10 @@ def ivf_centroids(
     ~n_centroids candidates in one distributed pass — no global sort of
     the corpus (a full-corpus Window.orderBy would funnel every vector
     through one task; review finding). Only the ~n_centroids survivors go
-    through the tiny ordering window that assigns stable centroid ids."""
-    n = corpus.count()
+    through the tiny ordering window that assigns stable centroid ids.
+    Pass ``corpus_size`` (exact or approximate) to skip the stride count
+    job — at 10^9 vectors the caller knows the catalog row count."""
+    n = corpus_size if corpus_size is not None else corpus.count()
     stride = max(1, n // n_centroids)
     cand = corpus.where(
         F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(stride)) == 0
@@ -177,12 +187,13 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned by nearest centroid
     (inverted lists), queries probe their ``n_probe`` nearest lists, exact
     cosine rerank on the probed union. Same output shape as brute force
     ((query_id, rank, neighbor_id, cos)) so recall is measurable."""
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, corpus_size)
     c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     q = queries.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     lists = _assign(c, cents, "neighbor_id", "cv", top=1)
@@ -190,19 +201,50 @@ def ivf_topk(
     cand = probes.join(lists, on="centroid_id").select(
         "query_id", "qv", "neighbor_id", "cv"
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-            6,
-        ).alias("cos"),
+    return _rerank(cand, k)
+
+
+def lsh_candidate_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 8,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Distinct (query_id, qv, neighbor_id, cv) candidate pairs sharing a
+    signature bucket in ≥1 table — the shared bucketing stage behind
+    LSH top-k AND LSH near-dup dedup. Deduplication happens on the ID
+    PAIR alone (vectors re-attached once afterwards) so the distinct never
+    hashes/shuffles the full double arrays per table collision.
+    ``symmetric``: self-join semantics — keep only id_a < id_b pairs."""
+    dim = queries.select(F.size(vec_col).alias("d")).first()["d"]
+    qs = lsh_signatures(queries, id_col, vec_col, n_tables, n_planes, dim)
+    cs = (
+        qs
+        if symmetric
+        else lsh_signatures(corpus, id_col, vec_col, n_tables, n_planes, dim)
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos")
+    pairs = (
+        qs.select(F.col("id").alias("query_id"), "table", "sig")
+        .join(
+            cs.select(F.col("id").alias("neighbor_id"), "table", "sig"),
+            on=["table", "sig"],
+        )
+        .select("query_id", "neighbor_id")
+    )
+    if symmetric:
+        pairs = pairs.where(F.col("query_id") < F.col("neighbor_id"))
+    pairs = pairs.distinct()
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    return pairs.join(qv, "query_id").join(cv, "neighbor_id").select(
+        "query_id", "qv", "neighbor_id", "cv"
     )
 
 
@@ -218,31 +260,7 @@ def lsh_topk(
     """Approximate cosine top-k: bucket-join candidates, exact rerank.
     Returns (query_id, rank, neighbor_id, cos) — same shape as brute force
     so recall can be measured by joining the two."""
-    dim = queries.select(F.size(vec_col).alias("d")).first()["d"]
-    qs = lsh_signatures(queries, id_col, vec_col, n_tables, n_planes, dim)
-    cs = lsh_signatures(corpus, id_col, vec_col, n_tables, n_planes, dim)
-    cand = (
-        qs.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "table", "sig")
-        .join(
-            cs.select(
-                F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "table", "sig"
-            ),
-            on=["table", "sig"],
-        )
-        .select("query_id", "qv", "neighbor_id", "cv")
-        .distinct()
+    cand = lsh_candidate_pairs(
+        queries, corpus, id_col, vec_col, n_tables, n_planes
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-            6,
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos")
-    )
+    return _rerank(cand, k)

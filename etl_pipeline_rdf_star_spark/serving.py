@@ -98,7 +98,14 @@ def to_sparql_json(df: DataFrame, limit: int = 10_000) -> dict:
     ``quoted`` struct renders as an RDF-star triple term."""
     rows = df.limit(limit).collect()
     cols = df.columns
-    _FOLDED = {"object_datatype", "object_lang", "object_kind", "subject_kind"}
+    # a metadata column folds into its term's binding ONLY when the term
+    # column it annotates is present — a projection of just the metadata
+    # column must surface it, not silently vanish (review finding)
+    _FOLDED = set()
+    if "object" in cols:
+        _FOLDED |= {"object_datatype", "object_lang", "object_kind"} & set(cols)
+    if "subject" in cols:
+        _FOLDED |= {"subject_kind"} & set(cols)
     bindings = []
     for r in rows:
         b: dict[str, Any] = {}

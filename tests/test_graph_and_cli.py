@@ -152,6 +152,8 @@ def test_cli_lifecycle_and_load(tmp_path, capsys, sf_dir):
     cli.main(["replay", "--warehouse", wh, "--sf-dir", sf_dir, "--batches", "2"])
     capsys.readouterr()
 
+    with pytest.raises(SystemExit, match="unknown batch"):
+        cli.main(["archive", "--warehouse", wh, "--batch", "nope"])
     cli.main(["archive", "--warehouse", wh, "--batch", "replay-00000"])
     a = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert a["status"] == "ARCHIVED"

@@ -49,8 +49,10 @@ def main() -> None:
     ev_dir, ckpt, wh = f"{base}/events", f"{base}/ckpt", f"{base}/wh"
 
     # the "binlog": the event log as FILES seq-ranged parquet files appended
-    # in order (each trigger tails TRIGGER of them)
-    ev = synth.cdc_events(spark, SF_DIR, n_files=nf, n_events=ne)
+    # in order (each trigger tails TRIGGER of them). Persist before slicing:
+    # without it each slice write would recompute the full generation.
+    ev = synth.cdc_events(spark, SF_DIR, n_files=nf, n_events=ne).persist()
+    ev.count()
     step = (ne + FILES) // FILES
     t0 = time.perf_counter()
     for i in range(FILES):
@@ -63,6 +65,7 @@ def main() -> None:
             .parquet(ev_dir)
         )
     gen_s = time.perf_counter() - t0
+    ev.unpersist()
 
     eng = CdcEngine(
         spark, wh, n_buckets=CPUS, mode="mor", auto_compact_deltas=4
