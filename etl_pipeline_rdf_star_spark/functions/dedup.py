@@ -277,8 +277,11 @@ def simhash_near_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: hamming is deterministic per pair, so
+        # rejected candidates never enter the distinct's shuffle
+        # (round-2 VERDICT efficiency item 1)
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

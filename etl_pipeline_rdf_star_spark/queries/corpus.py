@@ -901,7 +901,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(docs, k=3, num_hashes=6)
 
 
-def _minhash_sql(num_hashes: int = 6) -> str:
+def _minhash_cte(num_hashes: int) -> str:
+    """Shared CTE text: documents → k=3 shingles → ``num_hashes`` portable
+    md5 minhashes (bit-identical to functions.dedup.minhash_signatures)."""
     mh = ", ".join(
         f"list_min(list_transform(sh, x -> md5('{i}|' || x))) AS mh{i}"
         for i in range(num_hashes)
@@ -914,13 +916,103 @@ s AS (
            range(1, greatest(len(w) - 2, 1) + 1),
            i -> array_to_string(w[i:i+2], ' '))) AS sh
   FROM t
+),
+m AS (SELECT doc_id, {mh} FROM s)"""
+
+
+def _minhash_sql(num_hashes: int = 6) -> str:
+    return f"{_minhash_cte(num_hashes)}\nSELECT * FROM m"
+
+
+def _minhash_lsh_sql(bands: int = 4, rows_per_band: int = 3) -> str:
+    """DuckDB oracle for LSH banding (round-2 VERDICT item 1). The Spark
+    side joins on sha256(band-concat); hash equality ⟺ minhash-tuple
+    equality, so the oracle joins directly on the tuple — same pair set
+    without needing bit-identical sha256 on both engines."""
+    band_selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS bkey FROM m")
+    return f"""{_minhash_cte(bands * rows_per_band)},
+e AS ({' UNION ALL '.join(band_selects)})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM e a JOIN e b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 12, blocks: int = 4, bits: int = 60) -> str:
+    """DuckDB oracle replaying functions.dedup.simhash_near_pairs exactly:
+    60-bit md5-token SimHash, pigeonhole 15-bit chunk join, Hamming ≤ cap
+    via xor + bit_count (round-2 VERDICT item 1)."""
+    width = bits // blocks
+    mask = (1 << width) - 1
+    # h = first 15 hex chars of md5(token) as a 60-bit integer, matching
+    # Spark's conv(substring(md5(t),1,15),16,10)
+    h_expr = (
+        "CAST(list_sum(list_transform(range(1, 16), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INTEGER)))) AS BIGINT)"
+    )
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    chunk_rows = ", ".join(f"({b})" for b in range(blocks))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+hh AS (SELECT doc_id, {h_expr} AS h FROM tok),
+bs AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hh GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash FROM bs),
+chunks AS (
+  SELECT doc_id, simhash, blk,
+         (simhash >> CAST(blk * {width} AS INTEGER)) & {mask} AS chunk
+  FROM sig CROSS JOIN (VALUES {chunk_rows}) AS r(blk)
 )
-SELECT doc_id, {mh} FROM s"""
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM chunks a JOIN chunks b ON a.blk = b.blk AND a.chunk = b.chunk
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def _winnow_sql(k: int = 3, window: int = 4) -> str:
+    """DuckDB oracle for winnowing fingerprints (round-2 VERDICT item 1):
+    md5 k-shingle hashes → sliding-window minima → sha256 of the sorted
+    distinct minima, replaying functions.text.with_fingerprint."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(w) - {k - 1}, 1) + 1),
+           i -> md5(array_to_string(w[i:i+{k - 1}], ' '))) AS shs
+  FROM t
+),
+mn AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(shs) - {window - 1}, 1) + 1),
+           i -> list_min(shs[i:i+{window - 1}])) AS mins
+  FROM sh
+)
+SELECT doc_id,
+       sha256(array_to_string(list_sort(list_distinct(mins)), '')) AS fingerprint
+FROM mn"""
 
 
 def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded candidate near-dup pairs (rows-only check — banding is
-    not reasonably ANSI-SQL-expressible)."""
+    """LSH-banded candidate near-dup pairs. Oracle: DuckDB replays the
+    identical minhash permutations and joins on band tuples."""
     from ..functions.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -928,7 +1020,8 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only — 60-bit bit arithmetic)."""
+    """SimHash near-dup pairs. Oracle: DuckDB xor + bit_count replay of the
+    60-bit signature and pigeonhole block join."""
     from ..functions.dedup import simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -990,10 +1083,9 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs — the scale path; equality with the
-    exact all-pairs baseline at this threshold is asserted in
-    tests/test_training_ops.py (rows-only here: bucketing isn't
-    ANSI-SQL-expressible)."""
+    """LSH-bucketed near-dup pairs — the scale path. Oracle: the exact
+    all-pairs SQL (the op's declared semantic); recall 1.0 at this
+    threshold is additionally asserted in tests/test_training_ops.py."""
     from ..functions.dedup import embedding_near_dup_pairs_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1031,8 +1123,8 @@ def q_embedding_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (rows-only — nested window minima in ANSI SQL
-    would be a page of lateral joins; determinism is covered by tests)."""
+    """Winnowing fingerprints. Oracle: DuckDB list_transform window minima
+    replay of the same md5/sha256 pipeline."""
     from ..functions.text import with_fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1284,14 +1376,18 @@ FROM t GROUP BY event_type""",
     ),
     "doc_lang_id": QueryEntry(q_doc_lang_id, _lang_id_sql()),
     "minhash_signatures": QueryEntry(q_minhash_signatures, _minhash_sql()),
-    "minhash_lsh_dups": QueryEntry(q_minhash_lsh_dups, None),
-    "simhash_near_dups": QueryEntry(q_simhash_near_dups, None),
+    "minhash_lsh_dups": QueryEntry(q_minhash_lsh_dups, _minhash_lsh_sql()),
+    "simhash_near_dups": QueryEntry(q_simhash_near_dups, _simhash_pairs_sql()),
     "ngram_jaccard_dups": QueryEntry(q_ngram_jaccard_dups, _JACCARD_SQL),
     "embedding_near_dups": QueryEntry(q_embedding_near_dups, _EMB_DUP_SQL),
-    "embedding_near_dups_lsh": QueryEntry(q_embedding_near_dups_lsh, None),
+    # oracle for the LSH variant is the EXACT pair set: the operator's
+    # declared semantic is "all pairs ≥ threshold"; if bucketing ever loses
+    # a pair the driver SHOULD flag it (recall-1.0 at this threshold is
+    # also asserted in tests/test_training_ops.py)
+    "embedding_near_dups_lsh": QueryEntry(q_embedding_near_dups_lsh, _EMB_DUP_SQL),
     "embedding_lsh_knn": QueryEntry(q_embedding_lsh_knn, None),
     "embedding_ivf_knn": QueryEntry(q_embedding_ivf_knn, None),
-    "doc_fingerprints": QueryEntry(q_doc_fingerprints, None),
+    "doc_fingerprints": QueryEntry(q_doc_fingerprints, _winnow_sql()),
     "embedding_knn": QueryEntry(
         q_embedding_knn,
         """
