@@ -398,6 +398,19 @@ class CdcEngine:
         if self.mode == "mor":
             self.table.compact()
 
+    def max_seq(self) -> int | None:
+        """Global max event seq, from manifest column stats (no Spark job)."""
+        return self.table.max_order()
+
+    def state_at(self, seq_cut: int) -> DataFrame:
+        """Point-in-time live state at ``seq_cut`` served from the lake:
+        compacted checkpoint + manifest-pruned delta files (bounded work —
+        never a window over the full event history; see
+        LakeTable.read_asof). MoR tables only."""
+        return self.table.read_asof(seq_cut).select(
+            "repo", "path", "commit", "lang", "content"
+        )
+
     def purge_tombstones(self) -> None:
         """Compaction: physically drop tombstone rows (key-replacement merge
         of the tombstones as op='D' — removes the keys, inserts nothing).

@@ -131,3 +131,77 @@ def test_concurrent_commit_raises(spark, tmp_path):
         loser._commit(stale_next)
     assert "winner" in tbl.snapshot().committed_batches
     assert "loser" not in tbl.snapshot().committed_batches
+
+
+# -- as-of reads (bounded time travel) ---------------------------------------
+
+_ASOF_SCHEMA = "k string, seq long, v long, _deleted boolean"
+
+
+def _asof_expected(events, cut):
+    """Brute-force latest-per-key ≤ cut, tombstones filtered."""
+    best = {}
+    for k, seq, v, dead in events:
+        if seq <= cut and (k not in best or seq > best[k][0]):
+            best[k] = (seq, v, dead)
+    return {(k, s, v) for k, (s, v, dead) in best.items() if not dead}
+
+
+def _asof_got(tbl, cut):
+    return {(r.k, r.seq, r.v) for r in tbl.read_asof(cut).collect()}
+
+
+def test_read_asof_matches_full_replay(spark, tmp_path):
+    """Seq-ranged MoR commits + interleaved compaction: read_asof at every
+    cut equals a brute-force replay of events ≤ cut."""
+    tbl = LakeTable(spark, str(tmp_path / "asof"), key_cols=["k"], n_buckets=4)
+    batches = [
+        [("a", 0, 10, False), ("b", 1, 20, False), ("c", 2, 30, False)],
+        [("a", 10, 11, False), ("b", 12, 99, True), ("d", 13, 40, False)],
+        [("b", 20, 21, False), ("c", 22, 99, True), ("a", 25, 12, False)],
+        [("d", 30, 41, False), ("e", 33, 50, False)],
+    ]
+    events = [e for b in batches for e in b]
+    for i, b in enumerate(batches):
+        tbl.merge_mor(_df(spark, b, _ASOF_SCHEMA), f"b{i}")
+        if i == 1:
+            tbl.compact()  # checkpoint mid-history
+    for cut in [0, 2, 11, 13, 19, 22, 25, 29, 33]:
+        assert _asof_got(tbl, cut) == _asof_expected(events, cut), f"cut={cut}"
+
+
+def test_read_asof_out_of_order_commits(spark, tmp_path):
+    """Overlapping seq ranges across commits (late data) take the windowed
+    fallback and still produce the exact as-of state."""
+    tbl = LakeTable(spark, str(tmp_path / "ooo"), key_cols=["k"], n_buckets=4)
+    batches = [
+        [("a", 5, 1, False), ("b", 8, 2, False)],
+        [("a", 3, 9, False), ("b", 12, 3, False)],  # a@3 arrives late
+        [("a", 7, 4, False), ("c", 6, 5, False)],   # overlaps both
+    ]
+    events = [e for b in batches for e in b]
+    tbl.merge_mor(_df(spark, batches[0], _ASOF_SCHEMA), "b0")
+    tbl.compact()
+    tbl.merge_mor(_df(spark, batches[1], _ASOF_SCHEMA), "b1")
+    tbl.merge_mor(_df(spark, batches[2], _ASOF_SCHEMA), "b2")
+    for cut in [4, 6, 7, 8, 12]:
+        assert _asof_got(tbl, cut) == _asof_expected(events, cut), f"cut={cut}"
+
+
+def test_read_asof_prunes_post_cut_files(spark, tmp_path):
+    """Manifest seq_min stats must keep entirely-later delta files out of
+    the scan."""
+    tbl = LakeTable(spark, str(tmp_path / "prune"), key_cols=["k"], n_buckets=2)
+    tbl.merge_mor(_df(spark, [("a", 1, 1, False)], _ASOF_SCHEMA), "b0")
+    tbl.compact()
+    tbl.merge_mor(_df(spark, [("a", 10, 2, False)], _ASOF_SCHEMA), "b1")
+    tbl.merge_mor(_df(spark, [("a", 20, 3, False)], _ASOF_SCHEMA), "b2")
+    df = tbl.read_asof(15)
+    read = {p.removeprefix("file://").removeprefix("file:") for p in df.inputFiles()}
+    later = {
+        tbl._abs(f["path"])
+        for f in tbl.snapshot().files
+        if f.get("seq_min", -1) > 15
+    }
+    assert later and read.isdisjoint(later)
+    assert _asof_got(tbl, 15) == {("a", 10, 2)}
