@@ -230,14 +230,35 @@ def cmd_retention(args) -> None:
 
 
 def cmd_load(args) -> None:
-    """S11: load an N-Quads (or exported TriG) file into a parquet triples
-    table (reference rdf-workbench.py:99-133 load_rdf_file)."""
-    from .sinks.rdf_text import read_nquads
-
+    """S11: load an RDF file into a parquet quad table (reference
+    rdf-workbench.py:99-133 load_rdf_file). ``--fmt nquads`` uses the
+    strict columnar line parser; ``--fmt turtle`` the general
+    Turtle/TriG(-star) reader (prefixes, bnode lists, collections,
+    annotations); ``auto`` picks by extension."""
+    fmt = args.fmt
+    if fmt == "auto":
+        low = args.infile.lower()
+        fmt = "nquads" if low.endswith((".nq", ".nt")) else "turtle"
     spark = _spark(args.cores)
-    df = read_nquads(spark, args.infile)
+    if fmt == "nquads":
+        from .sinks.rdf_text import read_nquads
+
+        df = read_nquads(spark, args.infile)
+    else:
+        from .sinks.turtle import read_turtle
+
+        df = read_turtle(spark, args.infile, graph=args.graph)
     df.write.mode("overwrite").parquet(args.out)
-    print(json.dumps({"loaded": args.infile, "to": args.out, "quads": df.count()}))
+    print(
+        json.dumps(
+            {
+                "loaded": args.infile,
+                "to": args.out,
+                "fmt": fmt,
+                "quads": df.count(),
+            }
+        )
+    )
 
 
 def cmd_provenance(args) -> None:
@@ -327,6 +348,10 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("load")
     p.add_argument("--infile", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument(
+        "--fmt", choices=["auto", "nquads", "turtle"], default="auto"
+    )
+    p.add_argument("--graph", default=None)
     p.set_defaults(fn=cmd_load)
 
     p = sub.add_parser("provenance")

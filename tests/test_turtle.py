@@ -1,0 +1,197 @@
+"""General Turtle/TriG(-star) reader (round-2 VERDICT item 4): the
+reference-authored fixtures in /root/reference/rdf-data-input must load,
+with counts cross-checked against independent grep-style tallies of the
+files and a round-trip through the N-Quads writer/reader pair."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_rdf_star_spark.sinks.turtle import (
+    TurtleParseError,
+    parse_turtle_text,
+    read_turtle,
+)
+
+REF = "/root/reference/rdf-data-input"
+MOVIE = f"{REF}/individuals/movie_data.ttl"
+ONTO = f"{REF}/ontologies/movie-database-ontology.ttl"
+
+EX = "http://example.org/movieApp#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+# -- kernel ------------------------------------------------------------------
+
+
+def test_kernel_prefixes_lists_and_literals():
+    rows = parse_turtle_text(
+        """
+@prefix ex: <http://e/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+# a comment with a dot . and <brackets>
+ex:s a ex:T ;
+    ex:p "plain", "typed"^^xsd:date, "fr"@fr, 42, 4.5, true ;
+    ex:q <http://e/iri#frag> .
+"""
+    )
+    assert len(rows) == 8
+    by_obj = {r["object"]: r for r in rows}
+    assert by_obj["typed"]["object_datatype"] == XSD + "date"
+    assert by_obj["fr"]["object_lang"] == "fr"
+    assert by_obj["42"]["object_datatype"] == XSD + "integer"
+    assert by_obj["4.5"]["object_datatype"] == XSD + "decimal"
+    assert by_obj["true"]["object_datatype"] == XSD + "boolean"
+    assert by_obj["http://e/iri#frag"]["object_kind"] == "iri"
+    assert rows[0]["predicate"] == RDF_TYPE
+    assert all(r["subject"] == "http://e/s" for r in rows)
+
+
+def test_kernel_bnode_property_lists_and_collections():
+    rows = parse_turtle_text(
+        """
+@prefix ex: <http://e/> .
+ex:s ex:sub [ a ex:R ; ex:on ex:p2 ] .
+[ a ex:Disjoint ; ex:members (ex:a ex:b) ] .
+"""
+    )
+    # 2 for the nested bnode + 1 linking triple + 2 for the outer bnode
+    # + 2*(first+rest) for the collection
+    assert len(rows) == 9
+    first = [r for r in rows if r["predicate"].endswith("#first")]
+    rest = [r for r in rows if r["predicate"].endswith("#rest")]
+    assert [r["object"] for r in first] == ["http://e/a", "http://e/b"]
+    assert rest[-1]["object"].endswith("#nil")
+    link = [r for r in rows if r["subject"] == "http://e/s"][0]
+    assert link["object_kind"] == "blank"
+
+
+def test_kernel_quoted_subject_annotations():
+    rows = parse_turtle_text(
+        """
+@prefix ex: <http://e/> .
+ex:s ex:name "v" .
+<< ex:s ex:name "v" >> ex:conf "0.9"^^ex:dec ; ex:src ex:sys .
+"""
+    )
+    ann = [r for r in rows if r["subject_kind"] == "quoted"]
+    assert len(ann) == 2
+    assert ann[0]["q_s"] == "http://e/s"
+    assert ann[0]["q_p"] == "http://e/name"
+    assert ann[0]["q_o"] == "v"
+    assert {a["predicate"] for a in ann} == {"http://e/conf", "http://e/src"}
+
+
+def test_kernel_trig_blocks_and_graph_keyword():
+    rows = parse_turtle_text(
+        """
+@prefix ex: <http://e/> .
+ex:g1 { ex:a ex:p ex:b . ex:c ex:p ex:d . }
+GRAPH ex:g2 { ex:e ex:p ex:f . }
+ex:bare ex:p ex:x .
+""",
+        default_graph="http://e/default",
+    )
+    graphs = {r["object"]: r["graph"] for r in rows}
+    assert graphs["http://e/b"] == "http://e/g1"
+    assert graphs["http://e/d"] == "http://e/g1"
+    assert graphs["http://e/f"] == "http://e/g2"
+    assert graphs["http://e/x"] == "http://e/default"
+
+
+def test_kernel_rejects_quoted_object_and_bad_prefix():
+    with pytest.raises(TurtleParseError, match="subject position"):
+        parse_turtle_text(
+            "@prefix ex: <http://e/> .\nex:s ex:p << ex:a ex:b ex:c >> ."
+        )
+    with pytest.raises(TurtleParseError, match="undefined prefix"):
+        parse_turtle_text("ex:s ex:p ex:o .")
+
+
+# -- reference fixtures ------------------------------------------------------
+
+
+@pytest.mark.skipif(not os.path.exists(MOVIE), reason="reference not mounted")
+def test_reference_movie_data_loads():
+    text = open(MOVIE).read()
+    rows = parse_turtle_text(text)
+    # independent tallies: every `<<` opens one annotation subject group;
+    # grep -c '<<' == 22 groups expanding to 71 annotation quads, and the
+    # whole file parses to 279 quads (pinned after manual cross-checks)
+    assert text.count("<<") == 22
+    ann = [r for r in rows if r["subject_kind"] == "quoted"]
+    assert len(ann) == 71
+    assert len(rows) == 279
+    assert all(r["subject"] for r in rows if r["subject_kind"] != "quoted")
+    assert all(r["predicate"] for r in rows)
+    alice = [
+        r
+        for r in rows
+        if r["subject"] == f"{EX}user_alice"
+        and r["predicate"] == f"{EX}hasUsername"
+    ]
+    assert alice and alice[0]["object"] == "alice92"
+    conf = [
+        r
+        for r in ann
+        if r["q_o"] == "alice92" and r["predicate"] == f"{EX}confidence"
+    ]
+    assert conf[0]["object"] == "0.99"
+    assert conf[0]["object_datatype"] == XSD + "decimal"
+
+
+@pytest.mark.skipif(not os.path.exists(ONTO), reason="reference not mounted")
+def test_reference_ontology_loads():
+    text = open(ONTO).read()
+    rows = parse_turtle_text(text)
+    types = [
+        r
+        for r in rows
+        if r["predicate"] == RDF_TYPE
+        and r["object"] == "http://www.w3.org/2002/07/owl#Class"
+    ]
+    # grep -c 'a owl:Class' == 6
+    assert len(types) == 6
+    # collections: 3 owl:members lists (4+2+2 items) + 3 withRestrictions
+    # lists (1+2+2 items) == 13 rdf:first links
+    first = [r for r in rows if r["predicate"].endswith("#first")]
+    assert len(first) == 13
+    # every restriction bnode subject resolves: no dangling object labels
+    blank_subjects = {
+        r["subject"] for r in rows if r["subject_kind"] == "blank"
+    }
+    blank_objects = {
+        r["object"] for r in rows if r["object_kind"] == "blank"
+    }
+    assert blank_objects <= blank_subjects
+    assert len(rows) == 344
+
+
+# -- Spark reader + round-trip ----------------------------------------------
+
+
+@pytest.mark.skipif(not os.path.exists(MOVIE), reason="reference not mounted")
+def test_read_turtle_spark_and_nquads_roundtrip(spark, tmp_path):
+    df = read_turtle(spark, MOVIE, graph="http://e/g/upload")
+    assert df.count() == 279
+    assert df.where(F.col("graph") != "http://e/g/upload").count() == 0
+    asserted = df.where(F.col("subject_kind") != "quoted")
+
+    from etl_pipeline_rdf_star_spark.sinks.rdf_text import (
+        nquads_lines,
+        read_nquads,
+    )
+
+    out = str(tmp_path / "rt")
+    nquads_lines(asserted.drop("graph")).write.text(out)
+    back = read_nquads(spark, out)
+    cols = ["subject", "predicate", "object", "object_datatype", "object_lang"]
+
+    def canon(d):
+        return {tuple(r[c] for c in cols) for r in d.select(*cols).collect()}
+
+    assert canon(back) == canon(asserted)
