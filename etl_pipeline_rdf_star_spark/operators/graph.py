@@ -144,6 +144,142 @@ def node_neighbor_union(
     )
 
 
+OWL = "http://www.w3.org/2002/07/owl#"
+RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+
+# cardinality predicate → display label, exactly the six the reference
+# panel queries one-by-one (rdf-workbench.py:864-930 _query_cardinality)
+_CARDINALITY_PREDS = [
+    (OWL + "qualifiedCardinality", "exactly"),
+    (OWL + "minQualifiedCardinality", "min"),
+    (OWL + "maxQualifiedCardinality", "max"),
+    (OWL + "cardinality", "exactly"),
+    (OWL + "minCardinality", "min"),
+    (OWL + "maxCardinality", "max"),
+]
+
+
+def class_restrictions(triples: DataFrame) -> DataFrame:
+    """OWL restriction panel for ALL classes at once (the reference runs
+    six SPARQL queries per class per request, rdf-workbench.py:864-930;
+    here one declarative plan covers every class and Catalyst broadcasts
+    the tiny predicate-filtered sides):
+
+    ``cls rdfs:subClassOf ?r . ?r a owl:Restriction ; owl:onProperty ?p ;
+    <card> ?v`` with optional ``owl:onClass`` / ``owl:onDataRange``.
+
+    Returns (cls, property, cardinality, on_class, on_data_range)."""
+
+    def by_pred(pred: str, value_alias: str) -> DataFrame:
+        return triples.where(F.col("predicate") == pred).select(
+            F.col("subject").alias("r"), F.col("object").alias(value_alias)
+        )
+
+    sub = triples.where(F.col("predicate") == RDFS_SUBCLASS).select(
+        F.col("subject").alias("cls"), F.col("object").alias("r")
+    )
+    is_restriction = triples.where(
+        (F.col("predicate") == RDF_TYPE) & (F.col("object") == OWL + "Restriction")
+    ).select(F.col("subject").alias("r"))
+    cards = None
+    for pred, label in _CARDINALITY_PREDS:
+        part = by_pred(pred, "card_value").withColumn("card_label", F.lit(label))
+        cards = part if cards is None else cards.unionByName(part)
+    return (
+        sub.join(is_restriction, "r")
+        .join(cards, "r")
+        .join(by_pred(OWL + "onProperty", "property"), "r")
+        .join(by_pred(OWL + "onClass", "on_class"), "r", "left")
+        .join(by_pred(OWL + "onDataRange", "on_data_range"), "r", "left")
+        .select(
+            "cls",
+            "property",
+            F.concat_ws(" ", "card_label", "card_value").alias("cardinality"),
+            "on_class",
+            "on_data_range",
+        )
+    )
+
+
+def disjoint_class_pairs(triples: DataFrame) -> DataFrame:
+    """Unordered disjoint class pairs from BOTH owl:disjointWith edges and
+    ``[ a owl:AllDisjointClasses ; owl:members (...) ]`` lists (the
+    reference's disjointness section of the restrictions panel). RDF list
+    chains are walked with the same exponential-squaring closure the
+    subclass explorer uses — no driver-side loops."""
+    direct = triples.where(F.col("predicate") == OWL + "disjointWith").select(
+        F.col("subject").alias("x"), F.col("object").alias("y")
+    )
+    djc = triples.where(
+        (F.col("predicate") == RDF_TYPE)
+        & (F.col("object") == OWL + "AllDisjointClasses")
+    ).select(F.col("subject").alias("d"))
+    heads = djc.join(
+        triples.where(F.col("predicate") == OWL + "members").select(
+            F.col("subject").alias("d"), F.col("object").alias("node")
+        ),
+        "d",
+    )
+    rests = triples.where(F.col("predicate") == RDF_REST).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    reach = transitive_closure(rests)
+    nodes = heads.unionByName(
+        heads.join(reach, heads["node"] == reach["src"]).select(
+            "d", F.col("dst").alias("node")
+        )
+    )
+    firsts = triples.where(F.col("predicate") == RDF_FIRST).select(
+        F.col("subject").alias("node"), F.col("object").alias("item")
+    )
+    items = nodes.join(firsts, "node").select("d", "item")
+    listed = (
+        items.alias("a")
+        .join(items.alias("b"), "d")
+        .where(F.col("a.item") < F.col("b.item"))
+        .select(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+    )
+    both = direct.unionByName(listed)
+    return both.select(
+        F.least("x", "y").alias("class_a"), F.greatest("x", "y").alias("class_b")
+    ).distinct()
+
+
+def property_characteristics(triples: DataFrame) -> DataFrame:
+    """(property, characteristic) for the owl property-characteristic
+    classes the reference panel reports (Functional, InverseFunctional,
+    Transitive, Symmetric + the declaration types)."""
+    kinds = [
+        "FunctionalProperty",
+        "InverseFunctionalProperty",
+        "TransitiveProperty",
+        "SymmetricProperty",
+        "ObjectProperty",
+        "DatatypeProperty",
+        "AnnotationProperty",
+    ]
+    mapping = {OWL + k: k for k in kinds}
+    kind_col = None
+    for iri, name in mapping.items():
+        branch = F.when(F.col("object") == iri, name)
+        kind_col = branch if kind_col is None else kind_col.when(
+            F.col("object") == iri, name
+        )
+    return (
+        triples.where(
+            (F.col("predicate") == RDF_TYPE)
+            & (F.col("object").isin(list(mapping)))
+        )
+        .select(
+            F.col("subject").alias("property"),
+            kind_col.alias("characteristic"),
+        )
+        .distinct()
+    )
+
+
 def subclass_closure(
     triples: DataFrame,
     subclass_pred: str = "http://www.w3.org/2000/01/rdf-schema#subClassOf",

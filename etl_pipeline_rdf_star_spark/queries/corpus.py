@@ -430,6 +430,95 @@ def q_class_individuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Inline ontology fixture for the restrictions-panel corpus row: the
+# operator (operators.graph.class_restrictions) is what's under test, so
+# the input is a constant relation replicated verbatim in the DuckDB
+# oracle's VALUES list. Shapes mirror the reference ontology fixtures
+# (qualified/plain/min/max cardinalities, onClass vs onDataRange,
+# non-restriction subclass edges and orphan restrictions as decoys).
+_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_OWL = "http://www.w3.org/2002/07/owl#"
+_XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+_ONTO_FIXTURE: list[tuple[str, str, str]] = [
+    ("http://example.org/SourceFile", _SUBCLASS, "r1"),
+    ("r1", _RDF_TYPE_IRI, _OWL + "Restriction"),
+    ("r1", _OWL + "onProperty", "http://example.org/commit"),
+    ("r1", _OWL + "qualifiedCardinality", "1"),
+    ("r1", _OWL + "onDataRange", _XSD_STR),
+    ("http://example.org/SourceFile", _SUBCLASS, "r2"),
+    ("r2", _RDF_TYPE_IRI, _OWL + "Restriction"),
+    ("r2", _OWL + "onProperty", "http://example.org/repo"),
+    ("r2", _OWL + "cardinality", "1"),
+    ("r2", _OWL + "onClass", "http://example.org/Repository"),
+    ("http://example.org/Repository", _SUBCLASS, "r3"),
+    ("r3", _RDF_TYPE_IRI, _OWL + "Restriction"),
+    ("r3", _OWL + "onProperty", "http://example.org/hasFile"),
+    ("r3", _OWL + "minCardinality", "0"),
+    ("r3", _OWL + "onClass", "http://example.org/SourceFile"),
+    ("http://example.org/Repository", _SUBCLASS, "r4"),
+    ("r4", _RDF_TYPE_IRI, _OWL + "Restriction"),
+    ("r4", _OWL + "onProperty", "http://example.org/primaryLang"),
+    ("r4", _OWL + "maxQualifiedCardinality", "1"),
+    ("r4", _OWL + "onDataRange", _XSD_STR),
+    # decoys: plain subclass edge and an orphan restriction
+    ("http://example.org/SourceFile", _SUBCLASS, "http://example.org/Artifact"),
+    ("r9", _RDF_TYPE_IRI, _OWL + "Restriction"),
+    ("r9", _OWL + "onProperty", "http://example.org/unlinked"),
+    ("r9", _OWL + "cardinality", "7"),
+]
+
+
+def q_class_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL restrictions panel (rdf-workbench.py:864-930): cardinality
+    constraints with onClass/onDataRange per class, over the inline
+    fixture ontology — one declarative plan instead of the reference's
+    six-queries-per-class loop."""
+    from ..operators.graph import class_restrictions
+
+    triples = spark.createDataFrame(
+        _ONTO_FIXTURE, "subject string, predicate string, object string"
+    )
+    return class_restrictions(triples)
+
+
+def _class_restrictions_sql() -> str:
+    vals = ",\n  ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in _ONTO_FIXTURE
+    )
+    cards = " UNION ALL ".join(
+        f"SELECT subject AS r, '{label}' AS lab, object AS v FROM t"
+        f" WHERE predicate = '{_OWL}{pred}'"
+        for pred, label in [
+            ("qualifiedCardinality", "exactly"),
+            ("minQualifiedCardinality", "min"),
+            ("maxQualifiedCardinality", "max"),
+            ("cardinality", "exactly"),
+            ("minCardinality", "min"),
+            ("maxCardinality", "max"),
+        ]
+    )
+    return f"""
+WITH t(subject, predicate, object) AS (VALUES
+  {vals}),
+sub AS (SELECT subject AS cls, object AS r FROM t
+        WHERE predicate = '{_SUBCLASS}'),
+isr AS (SELECT subject AS r FROM t
+        WHERE predicate = '{_RDF_TYPE_IRI}' AND object = '{_OWL}Restriction'),
+card AS ({cards}),
+prop AS (SELECT subject AS r, object AS property FROM t
+         WHERE predicate = '{_OWL}onProperty'),
+oc AS (SELECT subject AS r, object AS on_class FROM t
+       WHERE predicate = '{_OWL}onClass'),
+odr AS (SELECT subject AS r, object AS on_data_range FROM t
+        WHERE predicate = '{_OWL}onDataRange')
+SELECT sub.cls, prop.property, card.lab || ' ' || card.v AS cardinality,
+       oc.on_class, odr.on_data_range
+FROM sub
+JOIN isr USING (r) JOIN card USING (r) JOIN prop USING (r)
+LEFT JOIN oc USING (r) LEFT JOIN odr USING (r)"""
+
+
 def q_node_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-explorer neighbor union (rdf-workbench.py:720-777): outgoing ∪
     incoming ∪ RDF-star annotation edges of the lexicographically-first
@@ -1262,6 +1351,9 @@ WHERE e.op = 'D'
               WHERE f.repo = e.repo AND f.path = e.path)""",
     ),
     "class_properties": QueryEntry(q_class_properties, _CLASS_PROPS_SQL),
+    "class_restrictions": QueryEntry(
+        q_class_restrictions, _class_restrictions_sql()
+    ),
     "class_individuals": QueryEntry(q_class_individuals, _CLASS_INDIVIDUALS_SQL),
     "node_neighbors": QueryEntry(q_node_neighbors, _NODE_NEIGHBORS_SQL),
     "graph_census": QueryEntry(q_graph_census, _GRAPH_CENSUS_SQL),

@@ -141,3 +141,28 @@ def to_sparql_json(df: DataFrame, limit: int = 10_000) -> dict:
         bindings.append(b)
     head_vars = [c for c in cols if c not in _FOLDED]
     return {"head": {"vars": head_vars}, "results": {"bindings": bindings}}
+
+
+def to_ask_json(result: DataFrame | bool) -> dict:
+    """ASK result document — ``{"boolean": b}``, the exact field layout
+    the reference endpoint returns for ASK queries
+    (rdf-workbench.py:458-462, fastapi_sparql_server.py ASK branch).
+    A DataFrame argument is tested for non-emptiness with a LIMIT-1 probe
+    (bounded work — never a full count)."""
+    if isinstance(result, DataFrame):
+        result = bool(result.limit(1).take(1))
+    return {"boolean": bool(result)}
+
+
+def to_construct_json(df: DataFrame, limit: int = 10_000) -> dict:
+    """CONSTRUCT result document — ``{"triples": [...], "count": n}``,
+    mirroring the reference's ``{"triples": [str(t)...], "count": len}``
+    (rdf-workbench.py:464-468). Statements are rendered DISTRIBUTED by the
+    columnar N-Quads serializer (sinks.rdf_text) and only the bounded
+    result strings are collected; the trailing ``" ."`` is stripped to
+    match pyoxigraph's ``str(Triple)`` rendering."""
+    from .sinks.rdf_text import nquads_lines
+
+    rows = nquads_lines(df).limit(limit).collect()
+    triples = [r["value"].removesuffix(" .") for r in rows]
+    return {"triples": triples, "count": len(triples)}
