@@ -176,3 +176,79 @@ def test_sparql_json_respects_kind_columns(spark):
     assert b1["object"]["type"] == "literal"  # http-ish but kind says literal
     assert b2["object"]["type"] == "literal"  # hash-shaped but literal
     assert all("subject_kind" not in b for b in doc["results"]["bindings"])
+
+
+def test_pathological_hot_repo_merge_stays_spread(spark, tmp_path):
+    """Round-2 VERDICT item 9: a 99%-one-repo event log (far beyond the
+    synthetic ~21% skew) must neither funnel MoR ingest into few buckets
+    nor blow up replay cost, because bucketing hashes the FULL (repo,
+    path) key (storage/lake.py:43-47). Asserts bucket spread, O(batch)
+    commit shape, and throughput parity with a uniform log of equal
+    size."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_rdf_star_spark.streaming.cdc import CdcEngine
+
+    n = 6000
+
+    def _events(hot: bool):
+        repo = (
+            F.when(F.pmod("id", F.lit(100)) < 99, "repo_hot").otherwise(
+                F.concat(F.lit("repo_"), F.pmod("id", F.lit(7)).cast("string"))
+            )
+            if hot
+            else F.concat(F.lit("repo_"), F.pmod("id", F.lit(37)).cast("string"))
+        )
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("seq"),
+                F.lit("I").alias("op"),
+                repo.alias("repo"),
+                F.concat(F.lit("f_"), F.col("id").cast("string"), F.lit(".py"))
+                .alias("path"),
+                F.concat(F.lit("c"), (F.col("id") % 13).cast("string"))
+                .alias("commit"),
+                F.lit("en").alias("lang"),
+                F.concat(F.lit("content-"), F.col("id").cast("string"))
+                .alias("content"),
+                F.lit(None).cast("timestamp").alias("event_ts"),
+            )
+        )
+
+    timings = {}
+    for name, hot in (("uniform", False), ("hot", True)):
+        eng = CdcEngine(
+            spark, str(tmp_path / name), mode="mor", n_buckets=8
+        )
+        ev = _events(hot).persist()
+        ev.count()
+        t0 = time.monotonic()
+        eng.replay(ev, num_batches=3, id_prefix=name, seq_hi=n - 1)
+        timings[name] = time.monotonic() - t0
+        ev.unpersist()
+        per_bucket = (
+            eng.metrics.read()
+            .groupBy("bucket")
+            .agg(F.sum("rows").alias("rows"))
+            .collect()
+        )
+        rows = {r["bucket"]: r["rows"] for r in per_bucket}
+        assert len(rows) == 8, f"{name}: some buckets empty: {rows}"
+        spread = max(rows.values()) / (sum(rows.values()) / len(rows))
+        assert spread < 1.5, f"{name}: hot bucket ratio {spread:.2f}: {rows}"
+        # O(batch) commit shape: every data commit appends ≤ n_buckets files
+        snap = eng.table.snapshot()
+        by_version = {}
+        for f in snap.files:
+            v = f["path"].split("/")[1]
+            by_version.setdefault(v, 0)
+            by_version[v] += 1
+        assert all(c <= 8 for c in by_version.values())
+        assert eng.current_state().count() == n
+    # throughput parity: identical volume, so the hot log must not cost
+    # more than 2x the uniform one (generous CI-noise margin; the real
+    # guard is the bucket spread above)
+    assert timings["hot"] < timings["uniform"] * 2 + 2.0, timings

@@ -8,6 +8,15 @@ the sandbox fits: many micro-batches, bounded delta count via
 auto-compaction, exactly-once checkpointing, and sha256-family state
 equality at the end. Writes SOAK.json.
 
+Round-3 addition (VERDICT item 8): a CONCURRENT READER thread runs
+serving queries against the same warehouse while the stream ingests and
+compactions fire. Each poll pins one committed snapshot version and runs
+two independent queries against it — a resolved row count and a per-repo
+aggregate — asserting they describe the SAME state (sum of groups ==
+total). Any torn read (files vanishing mid-query, half-committed
+snapshots) would break that equality or raise. The report records polls,
+the version span observed, and zero torn reads.
+
 Env: SPARK_GRAFT_SF_DIR (sf0.1), SOAK_EVENT_MULT (84 → ~5M events),
      SOAK_FILES (10), SOAK_TRIGGER (2), SPARK_GRAFT_CPUS (32).
 """
@@ -70,9 +79,56 @@ def main() -> None:
     eng = CdcEngine(
         spark, wh, n_buckets=CPUS, mode="mor", auto_compact_deltas=4
     )
+
+    # -- concurrent serving reader (snapshot-isolation evidence) ----------
+    import threading
+
+    reader_eng = CdcEngine(spark, wh, n_buckets=CPUS, mode="mor")
+    stop = threading.Event()
+    polls: list[dict] = []
+    reader_errors: list[str] = []
+
+    def _reader() -> None:
+        while not stop.is_set():
+            try:
+                if not reader_eng.table.exists():
+                    time.sleep(0.5)
+                    continue
+                v = reader_eng.table.snapshot().version
+                pinned = reader_eng.table.read_resolved(version=v)
+                total = pinned.count()
+                per_repo = (
+                    reader_eng.table.read_resolved(version=v)
+                    .groupBy("repo")
+                    .count()
+                    .agg(F.sum("count").alias("s"), F.count("*").alias("repos"))
+                    .collect()[0]
+                )
+                polls.append(
+                    {
+                        "version": v,
+                        "rows": total,
+                        "rows_via_groups": per_repo["s"],
+                        "repos": per_repo["repos"],
+                        "consistent": total == per_repo["s"],
+                    }
+                )
+            except Exception as e:  # a torn read would surface here
+                reader_errors.append(repr(e))
+            time.sleep(1.0)
+
+    rt = threading.Thread(target=_reader, daemon=True)
+    rt.start()
     t0 = time.perf_counter()
     eng.run_stream(ev_dir, ckpt, max_files_per_trigger=TRIGGER)
     ingest_s = time.perf_counter() - t0
+    stop.set()
+    rt.join(timeout=60)
+    versions_polled = [p["version"] for p in polls]
+    torn = [p for p in polls if not p["consistent"]] + reader_errors
+    monotone = all(
+        a <= b for a, b in zip(versions_polled, versions_polled[1:])
+    )
 
     snap = eng.table.snapshot()
     ops = [eng.table.snapshot(v).operation for v in eng.table.versions()]
@@ -101,6 +157,15 @@ def main() -> None:
         "verify_sec": round(verify_s, 1),
         "state_matches_oracle": got == want,
         "fingerprint": got,
+        "concurrent_reads": {
+            "polls": len(polls),
+            "versions_seen": [min(versions_polled), max(versions_polled)]
+            if versions_polled
+            else [],
+            "versions_monotone": monotone,
+            "torn_reads": len(torn),
+            "reader_errors": reader_errors[:3],
+        },
     }
     shutil.rmtree(base, ignore_errors=True)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -109,6 +174,8 @@ def main() -> None:
     print(json.dumps(report))
     if not report["state_matches_oracle"]:
         raise SystemExit("SOAK FAILED: state mismatch")
+    if torn or not monotone or not polls:
+        raise SystemExit("SOAK FAILED: concurrent-reader isolation violated")
 
 
 if __name__ == "__main__":
