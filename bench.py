@@ -118,6 +118,21 @@ def main() -> None:
         df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # -- ANN / dedup at bucketing scale (round-2 VERDICT item 2) -----------
+    # 100k synthetic vectors / 50k boilerplate-laced docs: exact twins vs
+    # LSH/IVF with recall + candidate counts. BENCH_ANN=0 skips (adds ~3
+    # min of measured baselines — the brute-force/uncapped twins dominate).
+    ann = None
+    if os.environ.get("BENCH_ANN", "1") != "0":
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from ann_bench import run as ann_run  # noqa: E402
+
+        t0 = time.perf_counter()
+        ann = ann_run(spark)
+        timings["ann_dedup_bench"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -132,6 +147,7 @@ def main() -> None:
                 "n_events": n_ev,
                 "n_events_mor": n_ev_mor,
                 "cpus": cpus,
+                "ann": ann,
             }
         )
     )
