@@ -235,27 +235,42 @@ def cmd_load(args) -> None:
     strict columnar line parser; ``--fmt turtle`` the general
     Turtle/TriG(-star) reader (prefixes, bnode lists, collections,
     annotations); ``auto`` picks by extension."""
+    import os as _os
+
     fmt = args.fmt
     if fmt == "auto":
-        low = args.infile.lower()
-        fmt = "nquads" if low.endswith((".nq", ".nt")) else "turtle"
+        probe = args.infile
+        if _os.path.isdir(probe):  # directory input: sniff contained files
+            names = sorted(_os.listdir(probe))
+            probe = names[0] if names else probe
+        fmt = "nquads" if probe.lower().endswith((".nq", ".nt")) else "turtle"
     spark = _spark(args.cores)
     if fmt == "nquads":
+        from pyspark.sql import functions as F
+
         from .sinks.rdf_text import read_nquads
 
         df = read_nquads(spark, args.infile)
+        if args.graph:
+            # default-graph statements land in the chosen target graph;
+            # explicit quad graphs win (review finding: --graph was
+            # silently dropped on the nquads path)
+            df = df.withColumn("graph", F.coalesce("graph", F.lit(args.graph)))
     else:
         from .sinks.turtle import read_turtle
 
         df = read_turtle(spark, args.infile, graph=args.graph)
     df.write.mode("overwrite").parquet(args.out)
+    # count from the written parquet footers — NOT df.count(), which would
+    # re-run the whole parse a second time (review finding)
+    n = spark.read.parquet(args.out).count()
     print(
         json.dumps(
             {
                 "loaded": args.infile,
                 "to": args.out,
                 "fmt": fmt,
-                "quads": df.count(),
+                "quads": n,
             }
         )
     )

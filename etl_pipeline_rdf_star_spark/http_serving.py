@@ -22,12 +22,15 @@ Endpoints:
 The query language is Spark SQL over the views ``register_views``
 creates (rdf_triples, rdf_annotations, batches, ...) — the engine's
 declared serving surface; the SPARQL→SQL translation layer is out of
-scope per SURVEY §2.11.
+scope per SURVEY §2.11. Temp views are session-global: run ONE
+QueryServer per SparkSession (or distinct ``register_views`` prefixes)
+— a second server's views would shadow the first's.
 """
 
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
@@ -52,7 +55,8 @@ class QueryServer:
         self.spark = spark
         self.engine = engine
         self.max_limit = max_limit
-        self.views = register_views(spark, engine)
+        self.views: list[str] = []
+        self._refresh()
         outer = self
 
         class _Handler(BaseHTTPRequestHandler):
@@ -68,12 +72,15 @@ class QueryServer:
                 self.wfile.write(body)
 
             def do_GET(self) -> None:
-                if self.path == "/health":
-                    self._send(200, outer.health())
-                elif self.path == "/stats":
-                    self._send(200, outer.stats())
-                else:
-                    self._send(404, {"detail": f"unknown path {self.path}"})
+                try:
+                    if self.path == "/health":
+                        self._send(200, outer.health())
+                    elif self.path == "/stats":
+                        self._send(200, outer.stats())
+                    else:
+                        self._send(404, {"detail": f"unknown path {self.path}"})
+                except Exception as e:  # always answer with JSON, never
+                    self._send(500, {"detail": repr(e)})  # a torn socket
 
             def do_POST(self) -> None:
                 if self.path != "/query":
@@ -96,6 +103,26 @@ class QueryServer:
 
     # -- handlers (also callable directly, no HTTP needed) -----------------
 
+    def _refresh(self) -> None:
+        """(Re)register the serving views against the CURRENT snapshot.
+        Temp views pin the file list of the snapshot they were built from,
+        so a long-lived server must refresh per request or it serves the
+        construction-time state forever and breaks after retention expires
+        those files (review finding). Registration is driver-side metadata
+        (~ms) — no data is read. A pre-ingest engine registers nothing;
+        queries then 400 cleanly until data exists."""
+        if self.engine.table.exists():
+            self.views = register_views(self.spark, self.engine)
+
+    # query-form guard: a serving endpoint evaluates QUERIES; Spark's
+    # sql() eagerly EXECUTES commands (DROP VIEW, INSERT OVERWRITE ...),
+    # so the statement type must be checked before parsing (review
+    # finding). Leading comments/whitespace are stripped first.
+    _QUERY_HEAD = re.compile(
+        r"^(?:\s|--[^\n]*\n?|/\*.*?\*/)*(select|with|values|table|from)\b",
+        re.IGNORECASE | re.DOTALL,
+    )
+
     def query(
         self, sql: str, form: str = "select", limit: int | None = None
     ) -> dict[str, Any]:
@@ -103,6 +130,12 @@ class QueryServer:
             raise ValueError("empty sql")
         if form not in ("select", "ask", "construct"):
             raise ValueError(f"unknown form {form!r}")
+        if not self._QUERY_HEAD.match(sql):
+            raise ValueError(
+                "only query statements (SELECT/WITH/VALUES/TABLE/FROM) are "
+                "served; commands are rejected"
+            )
+        self._refresh()
         lim = min(limit or self.max_limit, self.max_limit)
         df = self.spark.sql(sql)
         if form == "ask":
@@ -119,6 +152,14 @@ class QueryServer:
         }
 
     def stats(self) -> dict[str, Any]:
+        if not self.engine.table.exists():
+            return {
+                "table_version": None,
+                "data_files": 0,
+                "committed_batches": 0,
+                "views": self.views,
+            }
+        self._refresh()
         snap = self.engine.table.snapshot()
         return {
             "table_version": snap.version,

@@ -146,6 +146,18 @@ class _Lexer:
                 self.i += 2
                 return (">>", None)
             self._err("stray '>'")
+        if c in "+-." or c.isdigit():
+            # numeric shorthand literal, including leading-dot decimals
+            # ('.5', '-.5' — review finding: '.' was eaten as a statement
+            # terminator); a trailing '.' is NOT consumed (it terminates)
+            m = re.match(
+                r"[+-]?(\d+(\.\d+)?([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)",
+                t[i:],
+            )
+            if m and (c != "." or (i + 1 < self.n and t[i + 1].isdigit())):
+                if c not in "+-" or m.end() > 1:
+                    self.i += m.end()
+                    return ("bare", m.group(0))
         if c in ".;,[](){}":
             self.i += 1
             return (c, None)
@@ -234,9 +246,21 @@ class _Parser:
         return f"genid{self._bn}"
 
     def _resolve(self, iri: str) -> str:
-        if self.base and "://" not in iri and not iri.startswith("urn:"):
-            return self.base + iri
-        return iri
+        # absolute = has a scheme (RFC 3986): never touched, so mailto:,
+        # did:, urn:, tag: survive a file-level @base (review finding:
+        # '://'-sniffing corrupted scheme-only IRIs)
+        if not self.base or re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            return iri
+        if iri.startswith("//"):
+            scheme = self.base.split(":", 1)[0]
+            return f"{scheme}:{iri}"
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)(/.*)?$", self.base)
+        if iri.startswith("/"):
+            return (m.group(1) + iri) if m else self.base + iri
+        if m:  # merge with the base path minus its last segment
+            path = m.group(2) or "/"
+            return m.group(1) + path[: path.rfind("/") + 1] + iri
+        return self.base + iri
 
     def _expand_bare(self, word: str) -> str:
         if ":" not in word:
@@ -373,7 +397,7 @@ class _Parser:
 
     # -- statements --------------------------------------------------------
 
-    def _statement(self, graph: str | None) -> None:
+    def _statement(self, graph: str | None, *, in_block: bool = False) -> None:
         s, skind, _, _ = self._term(graph, as_subject=True)
         if skind == "quoted":
             self._po_list(None, "quoted", graph, quoted=s)
@@ -381,6 +405,9 @@ class _Parser:
             pass  # bare `[ ... ] .` statement: quads already emitted
         else:
             self._po_list(s, skind, graph)
+        # TriG permits the LAST statement of a block to omit its dot
+        if in_block and self.lx.peek() == ("}", None):
+            return
         if self.lx.next() != (".", None):
             raise TurtleParseError("expected '.' at end of statement")
 
@@ -388,7 +415,7 @@ class _Parser:
         if self.lx.next() != ("{", None):
             raise TurtleParseError("expected '{'")
         while self.lx.peek() != ("}", None):
-            self._statement(graph)
+            self._statement(graph, in_block=True)
         self.lx.next()  # '}'
         if self.lx.peek() == (".", None):  # optional trailing dot after block
             self.lx.next()

@@ -522,6 +522,10 @@ class LakeTable:
         """Global max of the order column from manifest stats alone (no
         Spark job). Valid for MoR tables: compaction keeps each key's
         max-seq row, so the global max always survives."""
+        if order_col != "seq":  # manifest stats are recorded for `seq` only
+            raise ValueError(
+                f"manifest column stats exist only for 'seq', not {order_col!r}"
+            )
         maxes = [
             f["seq_max"] for f in self.snapshot().files if "seq_max" in f
         ]
@@ -560,6 +564,14 @@ class LakeTable:
         not time-travelable."""
         from pyspark.sql import Window
 
+        if order_col != "seq":
+            # manifest stats (seq_min/seq_max) are recorded for `seq` only;
+            # pruning by another column's cut would silently mis-prune
+            # (review finding) — refuse instead
+            raise ValueError(
+                f"read_asof requires order_col='seq' (manifest stats are "
+                f"recorded for 'seq' only), got {order_col!r}"
+            )
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"lake table {self.path} has no snapshots")

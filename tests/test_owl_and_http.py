@@ -190,3 +190,47 @@ def test_http_health_stats_and_errors(server):
     assert "rdf_triples" in stats["views"]
     code, doc = _post(server, {"sql": "SELECT * FROM nonexistent_table"})
     assert code == 400 and "detail" in doc
+
+
+def test_http_rejects_commands_and_sees_new_commits(server, spark):
+    # command guard: a DROP VIEW "query" must be rejected, not executed
+    code, doc = _post(server, {"sql": "DROP VIEW rdf_triples"})
+    assert code == 400 and "detail" in doc
+    code, doc = _post(server, {"sql": "SELECT count(*) AS n FROM rdf_triples"})
+    assert code == 200  # the view survived
+
+    # live views: a commit AFTER server start must be visible
+    ev = spark.createDataFrame(
+        [(10, "I", "r2", "new.py", "c9", "fr", "print(9)", None)],
+        "seq long, op string, repo string, path string, commit string,"
+        " lang string, content string, event_ts timestamp",
+    )
+    server.engine.apply_batch(ev, "http-b1")
+    code, doc = _post(
+        server,
+        {"sql": "SELECT 1 FROM repo_files WHERE path = 'new.py'", "form": "ask"},
+    )
+    assert (code, doc) == (200, {"boolean": True})
+
+
+def test_http_empty_table_serves_clean_responses(spark, tmp_path):
+    from etl_pipeline_rdf_star_spark.http_serving import QueryServer
+    from etl_pipeline_rdf_star_spark.streaming.cdc import CdcEngine
+
+    eng = CdcEngine(spark, str(tmp_path / "empty_wh"), mode="mor", n_buckets=2)
+    srv = QueryServer(spark, eng).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/health"
+        ) as resp:
+            assert json.loads(resp.read())["status"] == "empty"
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/stats"
+        ) as resp:
+            assert json.loads(resp.read())["table_version"] is None
+        # temp views are session-global, so another server's views may
+        # resolve; a view that never existed must still 400 cleanly
+        code, doc = _post(srv, {"sql": "SELECT * FROM never_registered_xyz"})
+        assert code == 400 and "detail" in doc  # JSON error, not torn socket
+    finally:
+        srv.stop()

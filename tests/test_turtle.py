@@ -195,3 +195,65 @@ def test_read_turtle_spark_and_nquads_roundtrip(spark, tmp_path):
         return {tuple(r[c] for c in cols) for r in d.select(*cols).collect()}
 
     assert canon(back) == canon(asserted)
+
+
+# -- review-finding regressions ---------------------------------------------
+
+
+def test_base_does_not_corrupt_scheme_iris():
+    rows = parse_turtle_text(
+        "@base <http://ex.org/dir/doc> .\n"
+        "<s> <p> <mailto:bob@x.com> .\n"
+        "<s2> <p> <did:plc:abc> .\n"
+        "<s3> <p> </root> .\n"
+    )
+    objs = {r["object"] for r in rows}
+    assert "mailto:bob@x.com" in objs
+    assert "did:plc:abc" in objs
+    assert "http://ex.org/root" in objs  # absolute path vs base authority
+    subs = {r["subject"] for r in rows}
+    assert "http://ex.org/dir/s" in subs  # relative merge drops last segment
+
+
+def test_trig_block_final_statement_may_omit_dot():
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> .\n"
+        "ex:g { ex:a ex:p ex:b . ex:c ex:p ex:d }\n"
+    )
+    assert len(rows) == 2
+    assert all(r["graph"] == "http://e/g" for r in rows)
+
+
+def test_leading_dot_decimals():
+    rows = parse_turtle_text(
+        "@prefix ex: <http://e/> .\nex:s ex:p .5, -.25, 4.5e2 ."
+    )
+    got = {(r["object"], r["object_datatype"]) for r in rows}
+    assert (".5", XSD + "decimal") in got
+    assert ("-.25", XSD + "decimal") in got
+    assert ("4.5e2", XSD + "double") in got
+
+
+def test_cli_load_nquads_respects_target_graph(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.nq").write_text(
+        '<http://a> <http://p> "v" .\n'
+        '<http://b> <http://p> "w" <http://explicit> .\n'
+    )
+    out = str(tmp_path / "out")
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    res = subprocess.run(
+        [_sys.executable, "-m", "etl_pipeline_rdf_star_spark.cli", "load",
+         "--infile", str(src), "--out", out, "--graph", "http://target"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-800:]
+    doc = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert doc["quads"] == 2 and doc["fmt"] == "nquads"
+    got = {(r.subject, r.graph) for r in spark.read.parquet(out).collect()}
+    assert got == {("http://a", "http://target"), ("http://b", "http://explicit")}
