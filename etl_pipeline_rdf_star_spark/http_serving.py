@@ -11,20 +11,27 @@ handlers map 1:1 onto route functions.
 
 Endpoints:
 
-* ``POST /query`` — body ``{"sql": "...", "form": "select"|"ask"|
-  "construct", "limit": N}``. ``select`` → SPARQL 1.1 JSON results
-  document, ``ask`` → ``{"boolean": b}``, ``construct`` →
-  ``{"triples": [...], "count": n}`` — the reference's three result
-  forms (rdf-workbench.py:458-468). Errors → 400 with ``{"detail": m}``.
+* ``POST /query`` — two query languages:
+
+  - ``{"sparql": "..."}`` (or the reference's ``{"query": "..."}``) —
+    SPARQL(-star) text compiled to a Catalyst plan by
+    :mod:`..queries.sparql`; the result form (SELECT/ASK/CONSTRUCT) is
+    derived from the query itself, exactly like the reference endpoint
+    (fastapi_sparql_server.py:242-351).
+  - ``{"sql": "...", "form": "select"|"ask"|"construct"}`` — Spark SQL
+    over the views ``register_views`` creates (rdf_triples,
+    rdf_annotations, batches, ...).
+
+  ``select`` → SPARQL 1.1 JSON results document, ``ask`` →
+  ``{"boolean": b}``, ``construct`` → ``{"triples": [...], "count": n}``
+  — the reference's three result forms (rdf-workbench.py:458-468).
+  Errors → 400 with ``{"detail": m}``.
 * ``GET /health`` — liveness + table version.
 * ``GET /stats`` — ledger/table summary (reference /stats).
 
-The query language is Spark SQL over the views ``register_views``
-creates (rdf_triples, rdf_annotations, batches, ...) — the engine's
-declared serving surface; the SPARQL→SQL translation layer is out of
-scope per SURVEY §2.11. Temp views are session-global: run ONE
-QueryServer per SparkSession (or distinct ``register_views`` prefixes)
-— a second server's views would shadow the first's.
+Temp views are session-global: run ONE QueryServer per SparkSession (or
+distinct ``register_views`` prefixes) — a second server's views would
+shadow the first's.
 """
 
 from __future__ import annotations
@@ -89,11 +96,18 @@ class QueryServer:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                    doc = outer.query(
-                        req.get("sql", ""),
-                        form=req.get("form", "select"),
-                        limit=int(req.get("limit", outer.max_limit)),
-                    )
+                    sparql_text = req.get("sparql") or req.get("query")
+                    if sparql_text:
+                        doc = outer.sparql(
+                            sparql_text,
+                            limit=int(req.get("limit", outer.max_limit)),
+                        )
+                    else:
+                        doc = outer.query(
+                            req.get("sql", ""),
+                            form=req.get("form", "select"),
+                            limit=int(req.get("limit", outer.max_limit)),
+                        )
                     self._send(200, doc)
                 except Exception as e:  # reference: 400 + detail
                     self._send(400, {"detail": f"Query error: {e}"})
@@ -143,6 +157,20 @@ class QueryServer:
         if form == "construct":
             return to_construct_json(df, limit=lim)
         return to_sparql_json(df, limit=lim)
+
+    def sparql(self, text: str, limit: int | None = None) -> dict[str, Any]:
+        """SPARQL(-star) endpoint path: compile with queries.sparql and
+        render the result document for the query's own form — the
+        reference's /query contract."""
+        if not text.strip():
+            raise ValueError("empty sparql query")
+        from .queries.sparql import dataset_from_engine, execute_sparql
+
+        self._refresh()
+        lim = min(limit or self.max_limit, self.max_limit)
+        return execute_sparql(
+            dataset_from_engine(self.engine), text, limit=lim
+        )
 
     def health(self) -> dict[str, Any]:
         ok = self.engine.table.exists()

@@ -1229,6 +1229,75 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SPARQL-star front end (queries/sparql.py): the same serving relations
+# queried through the reference's actual query LANGUAGE. Each entry
+# compiles SPARQL text into a Catalyst plan via sparql_df and is proven
+# against a DuckDB oracle — the translator's equi-join/filter/aggregate
+# semantics are driver-checked, not just pytest-checked.
+# ---------------------------------------------------------------------------
+
+
+def _sparql_dataset(spark: SparkSession, sf_dir: str):
+    from .sparql import dataset_from_engine
+
+    return dataset_from_engine(_lake_engine(spark, sf_dir))
+
+
+def q_sparql_high_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship SPARQL-star query (reference Postman 2.1 shape),
+    executed from SPARQL TEXT through the translator — same result as
+    q_high_confidence_facts but ?confidence stays lexical (xsd string)."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        SELECT ?subject ?lang_value ?confidence WHERE {
+            ?subject ex:lang ?lang_value .
+            <<?subject ex:lang ?lang_value>> ex:confidence ?confidence .
+            FILTER(?confidence > 0.5)
+        }""")
+
+
+def q_sparql_triples_per_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + COUNT through the SPARQL front end (Postman 5.4/7.2
+    aggregate shape)."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        SELECT ?predicate (COUNT(?subject) AS ?n_triples)
+        WHERE { ?subject ?predicate ?object } GROUP BY ?predicate""")
+
+
+def q_sparql_union_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION + DISTINCT through the SPARQL front end (batch_queries.rq
+    diff-union shape)."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        SELECT DISTINCT ?object WHERE {
+            { ?s <http://example.org/lang> ?object }
+            UNION
+            { ?s <http://purl.org/dc/terms/identifier> ?object }
+        }""")
+
+
+def q_sparql_low_confidence_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER NOT EXISTS (anti join) through the SPARQL front end
+    (batch_queries.rq FIND_INCOMPLETE_BATCHES shape)."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        SELECT ?subject ?lang_value WHERE {
+            ?subject ex:lang ?lang_value .
+            FILTER NOT EXISTS {
+                <<?subject ex:lang ?lang_value>> ex:confidence ?c .
+                FILTER(?c > 0.5)
+            }
+        }""")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1259,6 +1328,36 @@ WHERE round((length(content) % 100) / 100.0, 2) > 0.5""",
         q_triples_per_predicate,
         f"SELECT predicate, count(*) AS n_triples FROM ({_ASSERTED_SQL}) t"
         " GROUP BY predicate",
+    ),
+    "sparql_high_confidence": QueryEntry(
+        q_sparql_high_confidence,
+        f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f)
+SELECT {_SUBJ} AS subject, lang AS lang_value,
+       CAST(CAST(round((length(content) % 100) / 100.0, 2) AS DECIMAL(5,2)) AS VARCHAR)
+         AS confidence
+FROM final
+WHERE round((length(content) % 100) / 100.0, 2) > 0.5""",
+    ),
+    "sparql_triples_per_predicate": QueryEntry(
+        q_sparql_triples_per_predicate,
+        f"SELECT predicate, count(*) AS n_triples FROM ({_ASSERTED_SQL}) t"
+        " GROUP BY predicate",
+    ),
+    "sparql_union_objects": QueryEntry(
+        q_sparql_union_objects,
+        f"""
+SELECT DISTINCT object FROM ({_ASSERTED_SQL}) t
+WHERE predicate IN ('http://example.org/lang',
+                    'http://purl.org/dc/terms/identifier')""",
+    ),
+    "sparql_low_confidence_anti": QueryEntry(
+        q_sparql_low_confidence_anti,
+        f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f)
+SELECT {_SUBJ} AS subject, lang AS lang_value
+FROM final
+WHERE round((length(content) % 100) / 100.0, 2) <= 0.5""",
     ),
     "files_per_repo": QueryEntry(
         q_files_per_repo,

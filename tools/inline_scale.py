@@ -106,9 +106,11 @@ def main() -> None:
         return {"par": par, "n_events": ne_p, "sec": round(dt, 3),
                 "events_per_sec": round(ne_p / dt, 1)}
 
-    # warm both paths once (codegen compile, parquet reader init)
-    run(N)
-    run(hi_cores)
+    # warm both paths (codegen compile, parquet reader init, heap sizing —
+    # measured highs kept improving through ~2 warm cycles: 18.3→10.6→6.9s)
+    for _ in range(int(os.environ.get("SCALE_WARMUPS", "2"))):
+        run(N)
+        run(hi_cores)
 
     rounds = []
     for i in range(ROUNDS):
