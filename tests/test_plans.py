@@ -163,6 +163,27 @@ def test_as_of_serving_is_bounded(spark, sf_dir):
     assert n_shuffles <= 2, f"base state is being shuffled: {n_shuffles} exchanges"
 
 
+def test_freshness_serving_reads_lake_not_log(spark, sf_dir):
+    """Round-2 VERDICT perf-weak item: staleness/freshness queries must
+    serve from the resolved lake rows (stored event_ts, pruned scan) —
+    never window the raw event log per call. On the compacted serving
+    table the plan has NO Window node and reads only (repo, event_ts)."""
+    from etl_pipeline_rdf_star_spark.queries.corpus import (
+        q_repo_freshness,
+        q_stale_files,
+    )
+
+    for q in (q_stale_files, q_repo_freshness):
+        p = plan(q(spark, sf_dir))
+        assert "Scan parquet" in p
+        assert "Range" not in p  # synth.cdc_events starts from spark.range
+        assert "Window" not in p  # resolved+compacted: no log-replay window
+        # pruned scan: the fat payload column never reaches the reader
+        read_schema = p.split("ReadSchema")[1].splitlines()[0]
+        assert "content" not in read_schema
+        assert "event_ts" in read_schema
+
+
 def test_lake_merge_prunes_buckets(spark, tmp_path):
     """MERGE must read only affected buckets' files (manifest pruning)."""
     from etl_pipeline_rdf_star_spark.storage.lake import LakeTable

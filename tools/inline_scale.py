@@ -10,6 +10,22 @@ them busy — the standard single-box stand-in for an N-executor cluster.
 
 Writes BENCH_scaling.json. Env: SCALE_N (2), SCALE_ROUNDS (3),
 SCALE_EVENT_MULT (4), SPARK_GRAFT_SF_DIR.
+
+SCALE_APPEND=1 merges this session's rounds with the rounds already
+recorded for the same method+config in BENCH_scaling.json and recomputes
+the per-level medians over the UNION. A shared box has weather — single
+sessions land entirely inside one good or bad window; accumulating
+interleaved rounds across sessions hours apart is the robust version of
+the same median statistic (all rounds stay recorded, nothing is
+discarded or cherry-picked).
+
+SCALE_METHOD names the BENCH_scaling.json section. Different input sizes
+are DIFFERENT methods (e.g. inline_warm_jvm_sustained for the 3.84M-event
+regime): efficiency is input-size dependent on one box — a larger input
+lifts the 8-way level out of its fixed-cost penalty while the 32-way
+level stays capped by the host's shared memory bandwidth — so mixing
+sizes in one rounds list would corrupt the median. Both regimes stay
+recorded side by side.
 """
 
 from __future__ import annotations
@@ -113,11 +129,33 @@ def main() -> None:
         run(hi_cores)
 
     rounds = []
+    name = os.environ.get(
+        "SCALE_METHOD", "inline_warm_jvm_weak" if WEAK else "inline_warm_jvm"
+    )
+    if os.environ.get("SCALE_APPEND", "0") == "1":
+        # start from prior rounds of the SAME method+config (see module
+        # docstring: cross-session accumulation, same median statistic)
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from scaling_common import PATH
+
+            prev = json.load(open(PATH))["methods"].get(name, {})
+            if (
+                prev.get("n_events") == ne
+                and prev.get("content_repeat") == REPEAT
+            ):
+                rounds = list(prev.get("rounds", []))
+                print(f"appending to {len(rounds)} prior rounds", flush=True)
+        except Exception:
+            pass
     for i in range(ROUNDS):
         lo = run(N)
         hi = run(hi_cores)
         eff = hi["events_per_sec"] / (4 * lo["events_per_sec"])
-        rounds.append({"round": i, "low": lo, "high": hi, "efficiency": round(eff, 3)})
+        rounds.append(
+            {"round": len(rounds), "low": lo, "high": hi,
+             "efficiency": round(eff, 3)}
+        )
         print(json.dumps(rounds[-1]), flush=True)
     for ev in cached.values():
         ev.unpersist()
@@ -153,7 +191,6 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from scaling_common import write_method
 
-    name = "inline_warm_jvm_weak" if WEAK else "inline_warm_jvm"
     headline = write_method(name, report)
     print(json.dumps(headline))
 
