@@ -34,6 +34,9 @@ HEADLINE = [
     "as_of_state",
     "modified_files",
     "commit_history",
+    "repo_freshness",  # r3: resolved-row serving (no per-call log window)
+    "stale_files",  # r3: resolved-row serving (no per-call log window)
+    "sparql_high_confidence",  # r3: SPARQL-star text -> Catalyst plan
     "pricing_summary",
     "shipping_priority",
     "doc_token_stats",

@@ -241,9 +241,41 @@ def cmd_load(args) -> None:
     if fmt == "auto":
         probe = args.infile
         if _os.path.isdir(probe):  # directory input: sniff contained files
-            names = sorted(_os.listdir(probe))
-            probe = names[0] if names else probe
-        fmt = "nquads" if probe.lower().endswith((".nq", ".nt")) else "turtle"
+            # skip Spark sidecars (_SUCCESS, ._*.crc): sorting put them
+            # first and misclassified the engine's own N-Quads export
+            # dirs as Turtle (review finding)
+            names = sorted(
+                n
+                for n in _os.listdir(probe)
+                if not n.startswith(("_", "."))
+            )
+            probe = _os.path.join(probe, names[0]) if names else probe
+        low = probe.lower()
+        if low.endswith((".nq", ".nt")):
+            fmt = "nquads"
+        elif low.endswith((".ttl", ".trig", ".turtle")):
+            fmt = "turtle"
+        else:
+            # extensionless (Spark part-* exports): sniff the first data
+            # line — prefix directives / graph blocks / bnode syntax need
+            # the Turtle reader, bare full-IRI statements are N-Quads
+            fmt = "nquads"
+            try:
+                with open(probe, encoding="utf-8", errors="replace") as fh:
+                    for ln in fh:
+                        ln = ln.strip()
+                        if not ln or ln.startswith("#"):
+                            continue
+                        if (
+                            ln.startswith(("@prefix", "@base", "PREFIX", "BASE"))
+                            or " {" in ln
+                            or ln.endswith("{")
+                            or ln.startswith(("[", "("))
+                        ):
+                            fmt = "turtle"
+                        break
+            except OSError:
+                pass
     spark = _spark(args.cores)
     if fmt == "nquads":
         from pyspark.sql import functions as F

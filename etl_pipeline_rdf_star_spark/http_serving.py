@@ -129,13 +129,41 @@ class QueryServer:
             self.views = register_views(self.spark, self.engine)
 
     # query-form guard: a serving endpoint evaluates QUERIES; Spark's
-    # sql() eagerly EXECUTES commands (DROP VIEW, INSERT OVERWRITE ...),
-    # so the statement type must be checked before parsing (review
-    # finding). Leading comments/whitespace are stripped first.
+    # sql() eagerly EXECUTES commands (DROP VIEW, INSERT OVERWRITE ...).
+    # The keyword prefix check alone is bypassable — 'WITH t AS (...)
+    # INSERT OVERWRITE ...' and Hive-style 'FROM t INSERT ...' start with
+    # allowed keywords (review finding) — so the parsed logical plan tree
+    # is also walked and any command/DML node rejects the statement
+    # before execution.
     _QUERY_HEAD = re.compile(
         r"^(?:\s|--[^\n]*\n?|/\*.*?\*/)*(select|with|values|table|from)\b",
         re.IGNORECASE | re.DOTALL,
     )
+
+    def _reject_non_query(self, sql: str) -> None:
+        parser = self.spark._jsparkSession.sessionState().sqlParser()
+        plan = parser.parsePlan(sql)  # parse only — nothing executes
+
+        def walk(node):
+            yield node.getClass().getSimpleName()
+            ch = node.children()
+            for i in range(ch.size()):
+                yield from walk(ch.apply(i))
+
+        for cls in walk(plan):
+            if (
+                cls.endswith("Command")
+                or cls.endswith("Statement")
+                or cls in (
+                    "InsertIntoDir",
+                    "MergeIntoTable",
+                    "UpdateTable",
+                    "DeleteFromTable",
+                )
+            ):
+                raise ValueError(
+                    f"only query statements are served; rejected {cls}"
+                )
 
     def query(
         self, sql: str, form: str = "select", limit: int | None = None
@@ -149,6 +177,7 @@ class QueryServer:
                 "only query statements (SELECT/WITH/VALUES/TABLE/FROM) are "
                 "served; commands are rejected"
             )
+        self._reject_non_query(sql)
         self._refresh()
         lim = min(limit or self.max_limit, self.max_limit)
         df = self.spark.sql(sql)

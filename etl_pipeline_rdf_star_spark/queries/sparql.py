@@ -666,28 +666,97 @@ class _Planner:
                 df = df.where(F.col(col) == str(term.value))
             else:
                 raise SparqlUnsupported(f"term {term.kind} in pattern")
-        if not select:  # pure existence pattern
-            return df.select(F.lit(1).alias(_fresh("one")))
+        if not select:  # pure existence pattern: ONE solution if any match
+            return df.limit(1).select(F.lit(1).alias(_fresh("one")))
         return df.select(*[c.alias(v) for v, c in select.items()])
 
-    def _join(self, left: DataFrame | None, right: DataFrame, how: str) -> DataFrame:
+    def _join(
+        self,
+        left: DataFrame | None,
+        lmaybe: set[str],
+        right: DataFrame,
+        rmaybe: set[str],
+        how: str,
+    ) -> tuple[DataFrame, set[str]]:
+        """SPARQL compatible-mapping join with boundness tracking.
+
+        ``lmaybe``/``rmaybe`` = variables that MAY be unbound (null) on
+        each side — introduced only by OPTIONAL, UNION branch alignment,
+        and BIND. Shared always-bound vars use a plain equi join (the
+        common BGP case keeps its shuffle-friendly plan); shared
+        maybe-unbound vars use the SPARQL compatibility condition
+        (unbound matches anything) with COALESCE on output — an inner
+        equi join would silently drop those solutions on null keys."""
         if left is None:
-            return right
+            return right, set(rmaybe)
         shared = sorted(set(left.columns) & set(right.columns))
-        if shared:
-            return left.join(right, on=shared, how=how)
+        if not shared:
+            if how == "left":
+                # OPTIONAL sharing no vars: left join on TRUE — outer
+                # solutions survive an empty optional side (a crossJoin
+                # would wrongly return 0 rows)
+                out = left.join(right, F.lit(True), "left")
+            else:
+                out = left.crossJoin(right)
+            return out, set(lmaybe) | set(rmaybe)
+        fuzzy = [c for c in shared if c in lmaybe or c in rmaybe]
+        if not fuzzy:
+            out = left.join(right, on=shared, how=how)
+        else:
+            la, ra = left.alias("_l"), right.alias("_r")
+            cond = None
+            for c in shared:
+                lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+                t = (
+                    (lc.isNull() | rc.isNull() | (lc == rc))
+                    if c in fuzzy
+                    else (lc == rc)
+                )
+                cond = t if cond is None else cond & t
+            j = la.join(ra, cond, how)
+            cols = [
+                (
+                    F.coalesce(F.col(f"_l.{c}"), F.col(f"_r.{c}")).alias(c)
+                    if c in shared
+                    else F.col(f"_l.{c}").alias(c)
+                )
+                for c in left.columns
+            ] + [
+                F.col(f"_r.{c}").alias(c)
+                for c in right.columns
+                if c not in shared
+            ]
+            out = j.select(*cols)
         if how == "left":
-            return left.crossJoin(right)  # OPTIONAL with no shared vars
-        return left.crossJoin(right)
+            # left-side values pass through; right-only vars are unbound
+            # on non-matching rows
+            maybe = set(lmaybe) | (set(right.columns) - set(left.columns))
+        else:
+            maybe = {
+                c
+                for c in set(lmaybe) | set(rmaybe)
+                if (c not in shared) or (c in lmaybe and c in rmaybe)
+            }
+        return out, maybe
 
     def group_df(self, g: Group) -> DataFrame:
+        return self._group(g)[0]
+
+    def _group(self, g: Group) -> tuple[DataFrame, set[str]]:
         df: DataFrame | None = None
+        maybe: set[str] = set()
         for p in g.patterns:
             if isinstance(p, TriplePattern):
-                df = self._join(df, self._pattern_df(p), "inner")
+                df, maybe = self._join(
+                    df, maybe, self._pattern_df(p), set(), "inner"
+                )
             elif isinstance(p, Optional_):
-                df = self._join(df, self.group_df(p.group), "left")
+                rdf, rmaybe = self._group(p.group)
+                df, maybe = self._join(
+                    df, maybe, rdf, set(rdf.columns) | rmaybe, "left"
+                )
             elif isinstance(p, Bind):
+                certain = p.expr.op == "term" and p.expr.args[0].kind != "var"
                 if df is None:
                     # leading BIND (Postman 2.3/6.4): a one-row anchor frame
                     # the following patterns equi-join (broadcast) against
@@ -696,11 +765,19 @@ class _Planner:
                     )
                 else:
                     df = df.withColumn(p.var, self._expr_col(p.expr, df))
+                if not certain:  # a computed expression may evaluate null
+                    maybe.add(p.var)
             elif isinstance(p, UnionOp):
-                parts = [self.group_df(sub) for sub in p.groups]
-                allcols = sorted({c for part in parts for c in part.columns})
+                parts = [self._group(sub) for sub in p.groups]
+                allcols = sorted(
+                    {c for part, _ in parts for c in part.columns}
+                )
                 u = None
-                for part in parts:
+                umaybe: set[str] = set()
+                for part, pm in parts:
+                    umaybe |= pm
+                    # vars a branch doesn't bind are unbound in its rows
+                    umaybe |= set(allcols) - set(part.columns)
                     aligned = part.select(
                         *[
                             (F.col(c) if c in part.columns
@@ -709,14 +786,14 @@ class _Planner:
                         ]
                     )
                     u = aligned if u is None else u.unionByName(aligned)
-                df = self._join(df, u, "inner")
+                df, maybe = self._join(df, maybe, u, umaybe, "inner")
             else:
                 raise SparqlUnsupported(f"pattern {type(p).__name__}")
         if df is None:
             raise SparqlParseError("empty group pattern")
         for f in g.filters:
             if isinstance(f, ExistsFilter):
-                sub = self.group_df(f.group)
+                sub, smaybe = self._group(f.group)
                 shared = sorted(set(df.columns) & set(sub.columns))
                 if not shared:
                     raise SparqlUnsupported(
@@ -724,10 +801,25 @@ class _Planner:
                         "pattern (uncorrelated EXISTS)"
                     )
                 how = "left_anti" if f.negated else "left_semi"
-                df = df.join(sub, on=shared, how=how)
+                fuzzy = [c for c in shared if c in maybe or c in smaybe]
+                if not fuzzy:
+                    df = df.join(sub, on=shared, how=how)
+                else:
+                    la, ra = df.alias("_l"), sub.alias("_r")
+                    cond = None
+                    for c in shared:
+                        lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+                        t = (
+                            (lc.isNull() | rc.isNull() | (lc == rc))
+                            if c in fuzzy
+                            else (lc == rc)
+                        )
+                        cond = t if cond is None else cond & t
+                    # semi/anti joins keep only left columns, names intact
+                    df = la.join(ra, cond, how)
             else:
                 df = df.where(self._expr_col(f, df))
-        return df
+        return df, maybe
 
     # -- expressions ------------------------------------------------------
 
@@ -750,6 +842,16 @@ class _Planner:
             fn, args = e.args
             cols = [self._expr_col(a, df) for a in args]
             if fn == "regex":
+                # pattern/flags must be literal terms: rlike takes a plan
+                # literal, and silently using a variable NAME as the regex
+                # would match the wrong rows
+                for a in args[1:]:
+                    if a.op != "term" or a.args[0].kind not in (
+                        "literal", "num",
+                    ):
+                        raise SparqlUnsupported(
+                            "regex pattern/flags must be literals"
+                        )
                 pat = args[1].args[0].value
                 flags = args[2].args[0].value if len(args) > 2 else ""
                 if "i" in flags:
@@ -862,11 +964,26 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
                     return F.col(t.value).cast("string")
                 return F.lit(str(t.value))
 
+            def okind_col(t: Term) -> Column:
+                # the serving relations carry lexical strings without a
+                # kind column, so a variable object's kind is sniffed by
+                # scheme — the engine's established convention for
+                # kindless quoted objects (sinks/rdf_text.py
+                # trig_star_annotation_lines); constants know their kind
+                # from the parse
+                if t.kind == "var":
+                    return F.when(
+                        F.col(t.value).cast("string").rlike("^https?://"),
+                        F.lit("iri"),
+                    ).otherwise(F.lit("literal"))
+                return F.lit("iri" if t.kind == "iri" else "literal")
+
             parts.append(
                 df.select(
                     term_col(tp.s).alias("subject"),
                     term_col(tp.p).alias("predicate"),
                     term_col(tp.o).alias("object"),
+                    okind_col(tp.o).alias("object_kind"),
                 )
             )
         out = parts[0]
@@ -1084,5 +1201,4 @@ def _modifiers(self: _Parser, q: SelectQuery) -> None:
 
 
 _Parser._select = _select
-_Parser._modifiers = _modifiers
 _Parser._modifiers = _modifiers

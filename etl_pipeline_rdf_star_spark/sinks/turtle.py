@@ -251,16 +251,25 @@ class _Parser:
         # '://'-sniffing corrupted scheme-only IRIs)
         if not self.base or re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
             return iri
+        if iri.startswith("#"):
+            # same-document reference (RFC 3986 5.3): replace only the
+            # base's fragment — '<#Foo>' against base '.../file.owl' is
+            # '.../file.owl#Foo', NOT a sibling path (review finding)
+            return self.base.split("#", 1)[0] + iri
+        if iri.startswith("?"):
+            # query-only reference: replace base query (and fragment)
+            return self.base.split("#", 1)[0].split("?", 1)[0] + iri
         if iri.startswith("//"):
             scheme = self.base.split(":", 1)[0]
             return f"{scheme}:{iri}"
-        m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)(/.*)?$", self.base)
+        base = self.base.split("#", 1)[0].split("?", 1)[0]
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)(/.*)?$", base)
         if iri.startswith("/"):
-            return (m.group(1) + iri) if m else self.base + iri
+            return (m.group(1) + iri) if m else base + iri
         if m:  # merge with the base path minus its last segment
             path = m.group(2) or "/"
             return m.group(1) + path[: path.rfind("/") + 1] + iri
-        return self.base + iri
+        return base + iri
 
     def _expand_bare(self, word: str) -> str:
         if ":" not in word:

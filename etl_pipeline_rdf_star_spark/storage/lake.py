@@ -520,14 +520,25 @@ class LakeTable:
 
     def max_order(self, order_col: str = "seq") -> int | None:
         """Global max of the order column from manifest stats alone (no
-        Spark job). Valid for MoR tables: compaction keeps each key's
-        max-seq row, so the global max always survives."""
+        Spark job). Scans EVERY retained snapshot's manifest, not just the
+        current one: a rewriting purge (purge_tombstones) physically drops
+        tombstone rows, so if the globally newest event was a delete the
+        current snapshot's seq_max under-reports the true head (review
+        finding) — but the pre-purge snapshot's manifest still records it.
+        Residual caveat: once expire_snapshots has dropped every snapshot
+        that saw the head event AND the row was purged, the head is not
+        recoverable from manifests; callers needing exactness across
+        purge+expire must track the head externally (e.g. the streaming
+        checkpoint does)."""
         if order_col != "seq":  # manifest stats are recorded for `seq` only
             raise ValueError(
                 f"manifest column stats exist only for 'seq', not {order_col!r}"
             )
         maxes = [
-            f["seq_max"] for f in self.snapshot().files if "seq_max" in f
+            f["seq_max"]
+            for v in self.versions()
+            for f in self.snapshot(v).files
+            if "seq_max" in f
         ]
         return max(maxes) if maxes else None
 

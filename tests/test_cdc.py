@@ -406,3 +406,24 @@ def test_recovery_supersedes_previous_batch(spark, tmp_path, events):
     eng.apply_batch(chunk, "s-1")  # retry: data skipped, ledger recovered
     statuses = {r["batch_id"]: r["status"] for r in eng.ledger_view().collect()}
     assert statuses == {"s-0": "SUPERSEDED", "s-1": "ACTIVE"}
+
+
+def test_max_seq_survives_tombstone_purge(spark, tmp_path):
+    """Review finding: if the globally newest event is a delete, a
+    rewriting purge drops its row — max_order must still report the true
+    head from the retained snapshots' manifests."""
+    eng = CdcEngine(spark, str(tmp_path / "head"), mode="mor", n_buckets=2)
+    ev = spark.createDataFrame(
+        [
+            (0, "I", "r1", "a.py", "c1", "en", "x", None),
+            (1, "I", "r1", "b.py", "c1", "en", "y", None),
+            (2, "D", "r1", "b.py", "c2", "en", "", None),
+        ],
+        "seq long, op string, repo string, path string, commit string,"
+        " lang string, content string, event_ts timestamp",
+    )
+    eng.apply_batch(ev, "head-b0")
+    assert eng.max_seq() == 2
+    eng.purge_tombstones()
+    assert eng.table.read().count() == 1  # tombstone physically gone
+    assert eng.max_seq() == 2  # head survives via snapshot history

@@ -170,3 +170,29 @@ def test_cli_lifecycle_and_load(tmp_path, capsys, sf_dir):
     cli.main(["load", "--infile", out, "--out", loaded])
     ld = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ld["quads"] == e["rows"]
+
+def test_cli_load_auto_detects_own_nquads_export_dir(tmp_path, capsys, sf_dir):
+    """Review finding: --fmt auto probed sorted(listdir)[0], which picked
+    Spark sidecars ('_SUCCESS', '._*.crc') and misclassified the engine's
+    own N-Quads export directories as Turtle. The probe must skip
+    sidecars and content-sniff extensionless part files, so
+    export --fmt nquads → load --fmt auto round-trips."""
+    from etl_pipeline_rdf_star_spark import cli
+    from etl_pipeline_rdf_star_spark.session import get_spark
+
+    wh = str(tmp_path / "wh_rt")
+    cli.main(["replay", "--warehouse", wh, "--sf-dir", sf_dir, "--batches", "2"])
+    capsys.readouterr()
+    out = str(tmp_path / "nq_export")
+    cli.main(
+        ["export", "--warehouse", wh, "--what", "triples", "--fmt", "nquads",
+         "--out", out]
+    )
+    e = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    loaded = str(tmp_path / "loaded_quads")
+    cli.main(["load", "--infile", out, "--out", loaded])
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["fmt"] == "nquads"
+    assert doc["quads"] == e["rows"]
+    spark = get_spark("tests")
+    assert spark.read.parquet(loaded).count() == e["rows"]

@@ -234,3 +234,25 @@ def test_http_empty_table_serves_clean_responses(spark, tmp_path):
         assert code == 400 and "detail" in doc  # JSON error, not torn socket
     finally:
         srv.stop()
+
+
+def test_query_guard_rejects_nested_dml(server):
+    """The keyword-prefix guard alone is bypassable: WITH-prefixed and
+    Hive FROM-prefixed INSERTs start with allowed keywords; the parsed
+    plan tree walk must reject them before execution (review finding)."""
+    for sql in (
+        "WITH t AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY"
+        " '/tmp/guard_pwn' USING parquet SELECT * FROM t",
+        "FROM (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY"
+        " '/tmp/guard_pwn2' USING parquet SELECT a",
+    ):
+        code, doc = _post(server, {"sql": sql, "form": "ask"})
+        assert code == 400, sql
+        assert "reject" in doc["detail"].lower() or "Query error" in doc["detail"]
+        assert not os.path.exists("/tmp/guard_pwn")
+        assert not os.path.exists("/tmp/guard_pwn2")
+    # plain WITH queries still pass
+    code, doc = _post(
+        server, {"sql": "WITH t AS (SELECT 1 AS a) SELECT a FROM t"}
+    )
+    assert code == 200 and doc["results"]["bindings"][0]["a"]["value"] == "1"

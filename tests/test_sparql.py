@@ -385,3 +385,78 @@ def test_select_json_document_shape(dataset):
 def test_unsupported_is_loud():
     with pytest.raises((SparqlUnsupported, SparqlParseError)):
         parse_sparql("SELECT ?x WHERE { ?x ?p ?o . MINUS { ?x a ?c } }")
+
+
+# -- review-finding regressions ---------------------------------------------
+
+
+def test_optional_no_shared_vars_preserves_outer(dataset):
+    """SPARQL left-join semantics: an OPTIONAL sharing no variables with
+    the outer pattern must keep every outer solution (with the optional
+    vars unbound) when the optional side matches nothing — a crossJoin
+    would return 0 rows (review finding)."""
+    df = sparql_df(dataset, PROLOGUE + """
+        SELECT ?ds ?nope WHERE {
+            ?ds a dcat:Dataset .
+            OPTIONAL { ?x ex:doesNotExist ?nope }
+        }""")
+    got = rows(df, "ds", "nope")
+    assert len(got) == 3
+    assert all(n is None for _, n in got)
+
+
+def test_union_branch_missing_shared_var_joins_compatibly(dataset):
+    """A UNION branch that doesn't bind a shared variable yields
+    solutions with it UNBOUND — compatible with any outer binding, so
+    they must survive the join instead of being dropped on a null equi
+    key (review finding)."""
+    df = sparql_df(dataset, PROLOGUE + """
+        SELECT ?ds ?theme WHERE {
+            ?ds dcat:theme ?theme .
+            { ?ds dct:title "Revenue" }
+            UNION
+            { ?ds a dcat:Dataset . ?ds dct:title ?theme }
+        }""")
+    # branch 1 binds only ?ds (DS3): compatible with DS3's two themes;
+    # branch 2 binds ?theme to the title, matching no dcat:theme value
+    got = sorted(rows(df, "ds", "theme"))
+    assert got == [
+        (_ds("DS3"), _theme("Finance")),
+        (_ds("DS3"), _theme("Risk")),
+    ]
+
+
+def test_variable_free_pattern_is_single_solution(dataset):
+    """A variable-free triple pattern contributes ONE solution if any
+    quad matches (not one per matching quad — DS3's theme exists in two
+    graphs; counting must not double; review finding)."""
+    doc = execute_sparql(dataset, PROLOGUE + """
+        SELECT (COUNT(?s) AS ?n) WHERE {
+            ?s a dcat:Dataset .
+            <http://example.org/dataset/DS3> dcat:theme <http://example.org/themes/Finance> .
+        }""")
+    assert doc["results"]["bindings"][0]["n"]["value"] == "3"
+
+
+def test_regex_requires_literal_pattern(dataset):
+    with pytest.raises(SparqlUnsupported, match="literal"):
+        sparql_df(dataset, PROLOGUE + """
+            SELECT ?ds WHERE {
+                ?ds dct:title ?t . FILTER(regex(?t, ?t))
+            }""")
+
+
+def test_construct_renders_iri_objects_as_iris(dataset):
+    """CONSTRUCT output must bracket IRI objects like the reference's
+    str(Triple), not render them as quoted literals (review finding)."""
+    doc = execute_sparql(dataset, PROLOGUE + """
+        CONSTRUCT { ?ds ex:hasTheme ?theme } WHERE { ?ds dcat:theme ?theme }
+    """)
+    assert doc["count"] == 5
+    assert all(s.endswith(">") and "<http://example.org/themes/" in s
+               for s in doc["triples"])
+    # literal objects still render quoted
+    doc2 = execute_sparql(dataset, PROLOGUE + """
+        CONSTRUCT { ?ds ex:label ?t } WHERE { ?ds dct:title ?t }
+    """)
+    assert all('"' in s for s in doc2["triples"])

@@ -257,3 +257,27 @@ def test_cli_load_nquads_respects_target_graph(spark, tmp_path):
     assert doc["quads"] == 2 and doc["fmt"] == "nquads"
     got = {(r.subject, r.graph) for r in spark.read.parquet(out).collect()}
     assert got == {("http://a", "http://target"), ("http://b", "http://explicit")}
+
+
+def test_base_fragment_and_query_resolution():
+    """RFC 3986 5.3 (review finding): a fragment-only reference keeps the
+    base's full path ('<#Foo>' against '.../file.owl' must not strip the
+    last segment); query-only refs replace the base's query."""
+    rows = parse_turtle_text(
+        "@base <http://ex.org/onto/file.owl> .\n"
+        "<#Foo> <#p> <?q=1> .\n"
+        "<rel> <#p> <#Bar> .\n"
+    )
+    by_s = {r["subject"]: r for r in rows}
+    assert "http://ex.org/onto/file.owl#Foo" in by_s
+    assert by_s["http://ex.org/onto/file.owl#Foo"]["predicate"] == (
+        "http://ex.org/onto/file.owl#p"
+    )
+    assert by_s["http://ex.org/onto/file.owl#Foo"]["object"] == (
+        "http://ex.org/onto/file.owl?q=1"
+    )
+    # ordinary relative refs still merge against the parent path
+    assert "http://ex.org/onto/rel" in by_s
+    assert by_s["http://ex.org/onto/rel"]["object"] == (
+        "http://ex.org/onto/file.owl#Bar"
+    )
