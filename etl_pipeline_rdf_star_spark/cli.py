@@ -266,11 +266,15 @@ def cmd_load(args) -> None:
                         ln = ln.strip()
                         if not ln or ln.startswith("#"):
                             continue
+                        # graph blocks put '{' as a standalone token after
+                        # the graph term; substring-matching ' {' would
+                        # false-positive on N-Quads literals containing
+                        # braces (review finding)
+                        toks = ln.split(None, 2)
                         if (
                             ln.startswith(("@prefix", "@base", "PREFIX", "BASE"))
-                            or " {" in ln
-                            or ln.endswith("{")
-                            or ln.startswith(("[", "("))
+                            or ln.startswith(("[", "(", "{"))
+                            or (len(toks) >= 2 and toks[1] == "{")
                         ):
                             fmt = "turtle"
                         break

@@ -63,6 +63,17 @@ class QueryServer:
         self.engine = engine
         self.max_limit = max_limit
         self.views: list[str] = []
+        # Serializes view (re)registration WITH plan analysis: temp views
+        # are re-registered one-by-one per request, so without the lock a
+        # concurrent request on ThreadingHTTPServer could analyze a query
+        # against a MIXED view set — some views from snapshot v, some
+        # from v+1 (review finding). Analysis is eager in spark.sql(), so
+        # once the DataFrame exists the views may change freely; only
+        # refresh+analyze sits in the critical section. Residual: two
+        # views built microseconds apart can still pin different
+        # snapshots if an ingest commit lands between them — per-view
+        # snapshot pinning is the engine's isolation granularity.
+        self._view_lock = threading.Lock()
         self._refresh()
         outer = self
 
@@ -178,9 +189,10 @@ class QueryServer:
                 "served; commands are rejected"
             )
         self._reject_non_query(sql)
-        self._refresh()
         lim = min(limit or self.max_limit, self.max_limit)
-        df = self.spark.sql(sql)
+        with self._view_lock:
+            self._refresh()
+            df = self.spark.sql(sql)  # analysis is eager: views resolve here
         if form == "ask":
             return to_ask_json(df)
         if form == "construct":
@@ -195,11 +207,11 @@ class QueryServer:
             raise ValueError("empty sparql query")
         from .queries.sparql import dataset_from_engine, execute_sparql
 
-        self._refresh()
         lim = min(limit or self.max_limit, self.max_limit)
-        return execute_sparql(
-            dataset_from_engine(self.engine), text, limit=lim
-        )
+        with self._view_lock:
+            self._refresh()
+            ds = dataset_from_engine(self.engine)
+        return execute_sparql(ds, text, limit=lim)
 
     def health(self) -> dict[str, Any]:
         ok = self.engine.table.exists()

@@ -270,8 +270,16 @@ class _Lex:
             self.i += m.end()
             return ("num", m.group(0))
         # local part additionally admits '$' for $PARAM template
-        # placeholders (batch_queries.rq: ex:BatchStatus/$STATUS)
-        m = re.match(r"[A-Za-z_][A-Za-z0-9_\-]*(\.[A-Za-z0-9_\-]+)*:[A-Za-z0-9_\-.%/#$]*", t[i:])
+        # placeholders (batch_queries.rq: ex:BatchStatus/$STATUS). A '.'
+        # is consumed only when another local-part char follows — else
+        # 'ex:Person.' (no space before the statement dot) would swallow
+        # the terminator into the IRI and match nothing (review finding;
+        # same guard as the Turtle lexer)
+        m = re.match(
+            r"[A-Za-z_][A-Za-z0-9_\-]*(\.[A-Za-z0-9_\-]+)*:"
+            r"(?:[A-Za-z0-9_\-%/#$]|\.(?=[A-Za-z0-9_\-.%/#$]))*",
+            t[i:],
+        )
         if m:
             self.i += m.end()
             return ("pname", m.group(0))
@@ -315,7 +323,14 @@ class _Parser:
         if tok == ("kw", "select"):
             return self._select()
         if tok == ("kw", "ask"):
-            q = SelectQuery("ask", [], [], self._group(), [], [], None, None, False)
+            # SPARQL 1.1: ASK DatasetClause* 'WHERE'? GroupGraphPattern —
+            # the common 'ASK WHERE { ... }' form must parse (review
+            # finding)
+            q = SelectQuery("ask", [], [], Group(), [], [], None, None, False)
+            _parse_dataset_clauses(self, q)
+            if self.lx.peek() == ("kw", "where"):
+                self.lx.next()
+            q.where = self._group()
             return q
         if tok == ("kw", "construct"):
             template = self._template()
@@ -632,6 +647,12 @@ class _Planner:
         if tp.graph is not None:
             if "graph" not in df.columns:
                 df = df.withColumn("graph", F.lit(None).cast("string"))
+            if tp.graph.kind == "var":
+                # GRAPH ?g ranges over NAMED graphs only: default-graph
+                # rows (null graph) must not bind ?g — and a null key
+                # would silently drop rows in downstream equi-joins
+                # (review finding)
+                df = df.where(F.col("graph").isNotNull())
             cols["graph"] = tp.graph
         return self._bind(df, cols)
 
@@ -649,6 +670,12 @@ class _Planner:
         if tp.graph is not None:
             if "graph" not in df.columns:
                 df = df.withColumn("graph", F.lit(None).cast("string"))
+            if tp.graph.kind == "var":
+                # GRAPH ?g ranges over NAMED graphs only: default-graph
+                # rows (null graph) must not bind ?g — and a null key
+                # would silently drop rows in downstream equi-joins
+                # (review finding)
+                df = df.where(F.col("graph").isNotNull())
             cols["graph"] = tp.graph
         return self._bind(df, cols)
 
@@ -967,13 +994,15 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
             def okind_col(t: Term) -> Column:
                 # the serving relations carry lexical strings without a
                 # kind column, so a variable object's kind is sniffed by
-                # scheme — the engine's established convention for
-                # kindless quoted objects (sinks/rdf_text.py
-                # trig_star_annotation_lines); constants know their kind
-                # from the parse
+                # scheme — the SAME scheme set as serving._IRI_RE (review
+                # finding: a narrower https?-only sniff rendered urn:/
+                # file: IRIs as quoted literals); constants know their
+                # kind from the parse
                 if t.kind == "var":
                     return F.when(
-                        F.col(t.value).cast("string").rlike("^https?://"),
+                        F.col(t.value).cast("string").rlike(
+                            "^(https?|urn|file|ftp):"
+                        ),
                         F.lit("iri"),
                     ).otherwise(F.lit("literal"))
                 return F.lit("iri" if t.kind == "iri" else "literal")
@@ -1006,15 +1035,18 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
         # aggregates over expressions: pre-project to a temp column, then
         # aggregate it like a variable (Catalyst folds the projection into
         # the partial-aggregate stage — no extra pass)
+        # the parsed AST stays immutable: sparql_df accepts a pre-parsed
+        # SelectQuery, so rewriting q.aggregates in place would break
+        # re-executing the same AST (review finding)
+        agg_list = []
         for i, a in enumerate(q.aggregates):
             if a.expr is not None:
                 tmp = f"_agg_in_{i}"
                 df = df.withColumn(tmp, planner._expr_col(a.expr, df))
-                a = q.aggregates[i] = Aggregate(
-                    a.fn, tmp, a.distinct, a.alias
-                )
+                a = Aggregate(a.fn, tmp, a.distinct, a.alias)
+            agg_list.append(a)
         aggs = []
-        for a in q.aggregates:
+        for a in agg_list:
             if a.fn == "count":
                 if a.var is None:
                     col = F.count(F.lit(1))
@@ -1029,10 +1061,14 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
                     col = F.round(col, 6)
             aggs.append(col.alias(a.alias))
         df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-        out_cols = keys + [a.alias for a in q.aggregates]
+        out_cols = keys + [a.alias for a in agg_list]
         df = df.select(*out_cols)
     elif q.projections and q.projections != ["*"]:
         df = df.select(*q.projections)
+    else:
+        # SELECT *: internal existence-marker columns from variable-free
+        # patterns are not query variables (review finding)
+        df = df.drop(*[c for c in df.columns if re.match(r"^_one\d+$", c)])
     if q.distinct:
         df = df.distinct()
     if q.order_by:

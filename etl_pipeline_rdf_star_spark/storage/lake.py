@@ -570,9 +570,10 @@ class LakeTable:
 
         Work is O(live state + events since last compaction ≤ cut), not
         O(event history); compaction cadence = as-of checkpoint
-        granularity. Raises on histories containing rewriting COW merges
-        (purge_tombstones) below the cut — purged history is by contract
-        not time-travelable."""
+        granularity. Rewriting COW merges (purge_tombstones) don't break
+        as-of while their victims' original files are retained — only
+        expire_snapshots makes history non-time-travelable, and that
+        raises explicitly."""
         from pyspark.sql import Window
 
         if order_col != "seq":
@@ -615,11 +616,20 @@ class LakeTable:
             s = snaps[v]
             if s.operation == "compact" or s.summary.get("mode") == "compact":
                 continue  # rewrite of already-counted events
-            if s.operation not in ("create", "merge_mor", "append"):
+            if s.operation not in ("create", "merge_mor", "append", "merge"):
                 raise ValueError(
-                    f"read_asof unsupported over '{s.operation}' commit "
-                    f"v{v} (rewriting merge below the as-of point)"
+                    f"read_asof unsupported over '{s.operation}' commit v{v}"
                 )
+            # Rewriting COW merges (incl. purge_tombstones) are safe to
+            # include rather than refuse (review finding: a purge
+            # committed entirely AFTER the cut used to break previously
+            # valid as-of reads): the rows they REMOVED still exist in the
+            # earlier commits' files read by this very loop (files are
+            # immutable until expire_snapshots — and expired history
+            # already raises above), and the rows they carry over are
+            # byte-identical duplicates that max-seq resolution collapses.
+            # Their own batch's events are kept iff ≤ the cut, like any
+            # delta.
             tag = f"c{v:08d}"
             for f in s.files:
                 if tag not in f["path"]:

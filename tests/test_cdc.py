@@ -427,3 +427,44 @@ def test_max_seq_survives_tombstone_purge(spark, tmp_path):
     eng.purge_tombstones()
     assert eng.table.read().count() == 1  # tombstone physically gone
     assert eng.max_seq() == 2  # head survives via snapshot history
+
+
+def test_read_asof_survives_later_purge(spark, tmp_path):
+    """Review finding: a purge_tombstones committed AFTER the as-of cut
+    used to raise on previously-valid as-of reads. The purge's victims
+    still live in earlier commits' retained files, so as-of stays
+    answerable."""
+    eng = CdcEngine(spark, str(tmp_path / "asofp"), mode="mor", n_buckets=2)
+    schema = (
+        "seq long, op string, repo string, path string, commit string,"
+        " lang string, content string, event_ts timestamp"
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [
+                (0, "I", "r1", "a.py", "c1", "en", "x", None),
+                (1, "I", "r1", "b.py", "c1", "en", "y", None),
+            ],
+            schema,
+        ),
+        "ap-b0",
+    )
+    eng.table.compact()
+    before = {
+        (r["repo"], r["path"], r["commit"])
+        for r in eng.state_at(1).collect()
+    }
+    assert before == {("r1", "a.py", "c1"), ("r1", "b.py", "c1")}
+    # post-cut delete + purge rewrite
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(2, "D", "r1", "b.py", "c2", "en", "", None)], schema
+        ),
+        "ap-b1",
+    )
+    eng.purge_tombstones()
+    after = {
+        (r["repo"], r["path"], r["commit"])
+        for r in eng.state_at(1).collect()
+    }
+    assert after == before  # as-of below the purge still answers

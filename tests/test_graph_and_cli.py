@@ -196,3 +196,22 @@ def test_cli_load_auto_detects_own_nquads_export_dir(tmp_path, capsys, sf_dir):
     assert doc["quads"] == e["rows"]
     spark = get_spark("tests")
     assert spark.read.parquet(loaded).count() == e["rows"]
+
+
+def test_cli_load_sniff_ignores_braces_in_literals(tmp_path, capsys):
+    """Review finding: the extensionless-format sniff flagged any line
+    containing ' {' as Turtle — an N-Quads literal with a brace must not
+    flip the format."""
+    from etl_pipeline_rdf_star_spark import cli
+
+    d = tmp_path / "nq_dir"
+    d.mkdir()
+    (d / "part-00000").write_text(
+        '<http://e/s> <http://e/p> "code { block }" .\n'
+        '<http://e/s2> <http://e/p> <http://e/o> <http://e/g> .\n'
+    )
+    out = str(tmp_path / "loaded")
+    cli.main(["load", "--infile", str(d), "--out", out])
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["fmt"] == "nquads"
+    assert doc["quads"] == 2

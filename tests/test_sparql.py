@@ -460,3 +460,78 @@ def test_construct_renders_iri_objects_as_iris(dataset):
         CONSTRUCT { ?ds ex:label ?t } WHERE { ?ds dct:title ?t }
     """)
     assert all('"' in s for s in doc2["triples"])
+
+
+def test_pname_statement_dot_not_swallowed(dataset):
+    """'ex:Person.' with no space before the statement dot must keep the
+    dot as terminator, not corrupt the IRI (review finding, verified by
+    execution in review)."""
+    df = sparql_df(dataset, PROLOGUE + """
+        SELECT ?s WHERE { ?s a dcat:Dataset. }""")
+    assert df.count() == 3
+
+
+def test_graph_var_excludes_default_graph(spark):
+    """GRAPH ?g ranges over NAMED graphs only: default-graph (null-graph)
+    rows must not bind ?g (review finding)."""
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [
+                (f"{EX}a", f"{EX}p", "v1", f"{EX}g1"),
+                (f"{EX}b", f"{EX}p", "v2", None),  # default graph
+            ],
+            "subject string, predicate string, object string, graph string",
+        ),
+        annotations=None,
+    )
+    df = sparql_df(ds, PROLOGUE + """
+        SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p ?o } }""")
+    got = rows(df, "g", "s")
+    assert got == [(f"{EX}g1", f"{EX}a")]
+
+
+def test_select_star_hides_existence_markers(dataset):
+    """SELECT * must not leak internal '_one<N>' marker columns from
+    variable-free patterns (review finding)."""
+    doc = execute_sparql(dataset, PROLOGUE + """
+        SELECT * WHERE {
+            ?s dct:title ?t .
+            <http://example.org/dataset/DS1> a dcat:Dataset .
+        }""")
+    assert set(doc["head"]["vars"]) == {"s", "t"}
+
+
+def test_ask_where_form_parses(dataset):
+    """SPARQL 1.1 allows 'ASK WHERE { ... }' (review finding)."""
+    doc = execute_sparql(dataset, PROLOGUE + """
+        ASK WHERE { ?s a dcat:Dataset }""")
+    assert doc == {"boolean": True}
+
+
+def test_construct_brackets_urn_iris(spark):
+    """CONSTRUCT kind sniff must use the serving _IRI_RE scheme set —
+    urn:/file: objects are IRIs, not literals (review finding)."""
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [(f"{EX}b1", f"{EX}isbn", "urn:isbn:0451450523", None)],
+            "subject string, predicate string, object string, graph string",
+        ),
+        annotations=None,
+    )
+    doc = execute_sparql(ds, PROLOGUE + """
+        CONSTRUCT { ?s ex:id ?o } WHERE { ?s ex:isbn ?o }""")
+    assert doc["triples"] == [
+        f"<{EX}b1> <{EX}id> <urn:isbn:0451450523>"
+    ]
+
+
+def test_parsed_ast_is_reusable(dataset):
+    """sparql_df accepts a pre-parsed SelectQuery and must not mutate it:
+    running the same AST twice has to work (review finding)."""
+    q = parse_sparql(PROLOGUE + """
+        SELECT (SUM(IF(?c > "0.9", 1, 0)) AS ?n) WHERE {
+            <<?ds dcat:theme ?t>> ex:confidence ?c .
+        }""")
+    r1 = sparql_df(dataset, q).collect()
+    r2 = sparql_df(dataset, q).collect()
+    assert r1 == r2 and r1[0]["n"] == 2.0
