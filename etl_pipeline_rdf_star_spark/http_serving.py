@@ -189,7 +189,12 @@ class QueryServer:
                 "served; commands are rejected"
             )
         self._reject_non_query(sql)
-        lim = min(limit or self.max_limit, self.max_limit)
+        # limit=0 is a valid request for zero rows — `or` would silently
+        # turn it into max_limit (review finding)
+        lim = min(
+            self.max_limit if limit is None else max(0, limit),
+            self.max_limit,
+        )
         with self._view_lock:
             self._refresh()
             df = self.spark.sql(sql)  # analysis is eager: views resolve here
@@ -207,7 +212,10 @@ class QueryServer:
             raise ValueError("empty sparql query")
         from .queries.sparql import dataset_from_engine, execute_sparql
 
-        lim = min(limit or self.max_limit, self.max_limit)
+        lim = min(
+            self.max_limit if limit is None else max(0, limit),
+            self.max_limit,
+        )
         with self._view_lock:
             self._refresh()
             ds = dataset_from_engine(self.engine)
@@ -228,7 +236,8 @@ class QueryServer:
                 "committed_batches": 0,
                 "views": self.views,
             }
-        self._refresh()
+        with self._view_lock:  # never swap views under a locked query
+            self._refresh()
         snap = self.engine.table.snapshot()
         return {
             "table_version": snap.version,

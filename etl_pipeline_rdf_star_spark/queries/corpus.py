@@ -348,6 +348,11 @@ def q_as_of_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = _lake_engine(spark, sf_dir)
     hi = eng.max_seq()
+    if hi is None:  # clearer than TypeError deep in floor() (review)
+        raise ValueError(
+            "as-of query needs manifest seq stats; none recorded for "
+            f"{eng.table.path}"
+        )
     cut = int(math.floor(hi * 0.6))
     return eng.state_at(cut).select("repo", "path", "commit", "lang")
 

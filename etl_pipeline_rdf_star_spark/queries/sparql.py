@@ -27,6 +27,15 @@ the triples (or annotations) relation with variable columns renamed; the
 BGP is a chain of equi-joins on shared variables (Catalyst reorders /
 broadcasts); OPTIONAL is a left join; FILTER a ``where``. Every operator
 stays JVM-side.
+
+Known subset deviation: GRAPH groups and plain nested groups are
+FLATTENED into the enclosing group, so a FILTER inside them that
+references a variable bound only OUTSIDE its own group evaluates against
+the joined bindings instead of erroring-to-false as strict SPARQL group
+scoping requires. Identical results whenever filter variables are bound
+inside their own group — which is every query in the reference's corpora;
+strict scoping would need per-group error semantics for a case no
+reference query exercises.
 """
 
 from __future__ import annotations
@@ -778,10 +787,15 @@ class _Planner:
                     df, maybe, self._pattern_df(p), set(), "inner"
                 )
             elif isinstance(p, Optional_):
+                # pass only the vars ACTUALLY maybe-unbound in the
+                # optional side's own rows: the right side's vars become
+                # unbound on NON-matching rows, which _join's left-branch
+                # output maybe-set already records — feeding all right
+                # columns into the join condition instead would turn
+                # every OPTIONAL into a non-equi (nested-loop) join
+                # (review finding)
                 rdf, rmaybe = self._group(p.group)
-                df, maybe = self._join(
-                    df, maybe, rdf, set(rdf.columns) | rmaybe, "left"
-                )
+                df, maybe = self._join(df, maybe, rdf, rmaybe, "left")
             elif isinstance(p, Bind):
                 certain = p.expr.op == "term" and p.expr.args[0].kind != "var"
                 if df is None:
@@ -989,20 +1003,26 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
             def term_col(t: Term) -> Column:
                 if t.kind == "var":
                     return F.col(t.value).cast("string")
+                if t.kind not in ("iri", "literal", "num"):
+                    # a quoted-triple template term would otherwise render
+                    # as Python-repr garbage via str() (review finding)
+                    raise SparqlUnsupported(
+                        f"CONSTRUCT template term kind {t.kind!r}"
+                    )
                 return F.lit(str(t.value))
 
             def okind_col(t: Term) -> Column:
                 # the serving relations carry lexical strings without a
                 # kind column, so a variable object's kind is sniffed by
-                # scheme — the SAME scheme set as serving._IRI_RE (review
-                # finding: a narrower https?-only sniff rendered urn:/
-                # file: IRIs as quoted literals); constants know their
-                # kind from the parse
+                # scheme — IMPORTED from serving._IRI_RE so the two sniffs
+                # cannot drift (review finding; a narrower https?-only
+                # copy once rendered urn:/file: IRIs as quoted literals);
+                # constants know their kind from the parse
                 if t.kind == "var":
+                    from ..serving import _IRI_RE
+
                     return F.when(
-                        F.col(t.value).cast("string").rlike(
-                            "^(https?|urn|file|ftp):"
-                        ),
+                        F.col(t.value).cast("string").rlike(_IRI_RE.pattern),
                         F.lit("iri"),
                     ).otherwise(F.lit("literal"))
                 return F.lit("iri" if t.kind == "iri" else "literal")
@@ -1049,7 +1069,16 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
         for a in agg_list:
             if a.fn == "count":
                 if a.var is None:
-                    col = F.count(F.lit(1))
+                    if a.distinct:
+                        # COUNT(DISTINCT *) = distinct SOLUTIONS; struct()
+                        # keeps rows whose fields are null (count_distinct
+                        # over bare columns would drop them — review
+                        # finding: DISTINCT was silently ignored here)
+                        col = F.count_distinct(
+                            F.struct(*[F.col(c) for c in df.columns])
+                        )
+                    else:
+                        col = F.count(F.lit(1))
                 elif a.distinct:
                     col = F.countDistinct(a.var)
                 else:

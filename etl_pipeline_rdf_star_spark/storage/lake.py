@@ -365,7 +365,13 @@ class LakeTable:
             files=keep + files,
             schema_json=json.dumps(new_schema.jsonValue()),
             committed_batches=snap.committed_batches + [batch_id],
-            summary={"batch_id": batch_id, "affected_buckets": sorted(affected)},
+            summary={
+                "batch_id": batch_id,
+                "affected_buckets": sorted(affected),
+                # op_col merges physically REMOVE rows (purge_tombstones):
+                # time travel must not base itself past this commit
+                **({"drops_rows": True} if op_col else {}),
+            },
             timestamp=time.time(),
         )
         self._commit(out_snap)
@@ -595,10 +601,30 @@ class LakeTable:
                 return None
             return max(maxes)
 
+        def drops_rows(s: Snapshot) -> bool:
+            # tombstone-dropping rewrites: explicit marker, plus the
+            # legacy purge batch-id prefix for tables written before the
+            # marker existed
+            return bool(s.summary.get("drops_rows")) or str(
+                s.summary.get("batch_id", "")
+            ).startswith("purge-")
+
+        # A compacted snapshot at/after a tombstone-dropping rewrite is
+        # NOT a sound as-of base: the purge may have removed a post-cut
+        # delete's tombstone AND its key's entire history from the
+        # current files, so the snapshot's seq_max can sit below the cut
+        # while silently missing keys that were live at the cut (review
+        # finding). Bases must predate the first such rewrite; the
+        # victims' original files are then read as deltas.
+        purge_vs = [v for v in vs if drops_rows(snaps[v])]
+        first_purge_v = purge_vs[0] if purge_vs else None
+
         base_v = None
         for v in vs:
             s = snaps[v]
             if s.summary.get("mode") != "compact":
+                continue
+            if first_purge_v is not None and v >= first_purge_v:
                 continue
             m = snap_max(s)
             if m is not None and m <= seq_cut:
@@ -711,7 +737,11 @@ class LakeTable:
             files=files,  # replaces ALL files
             schema_json=snap.schema_json,
             committed_batches=snap.committed_batches + [bid],
-            summary={"batch_id": bid, "mode": "compact"},
+            summary={
+                "batch_id": bid,
+                "mode": "compact",
+                **({"drops_rows": True} if drop_tombstones else {}),
+            },
             timestamp=time.time(),
         )
         self._commit(out_snap)

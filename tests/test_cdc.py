@@ -468,3 +468,67 @@ def test_read_asof_survives_later_purge(spark, tmp_path):
         for r in eng.state_at(1).collect()
     }
     assert after == before  # as-of below the purge still answers
+
+
+def test_read_asof_not_based_past_tombstone_purge(spark, tmp_path):
+    """Review finding: a purge that removed a POST-cut delete (and with it
+    the key's whole history from current files) followed by compaction
+    produced a compacted snapshot whose seq_max sits below the cut — it
+    must NOT be used as the as-of base, or the key silently vanishes from
+    a point in time where it was live."""
+    eng = CdcEngine(spark, str(tmp_path / "asofb"), mode="mor", n_buckets=2)
+    schema = (
+        "seq long, op string, repo string, path string, commit string,"
+        " lang string, content string, event_ts timestamp"
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [
+                (10, "I", "r1", "k.py", "c1", "en", "x", None),
+                (20, "I", "r1", "o.py", "c1", "en", "y", None),
+            ],
+            schema,
+        ),
+        "b0",
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(150, "D", "r1", "k.py", "c2", "en", "", None)], schema
+        ),
+        "b1",
+    )
+    eng.purge_tombstones()  # k.py's entire history leaves current files
+    eng.table.compact()  # compacted snapshot max seq <= 100
+    live_at_100 = {
+        (r["repo"], r["path"]) for r in eng.state_at(100).collect()
+    }
+    assert ("r1", "k.py") in live_at_100  # was live until seq 150
+    assert ("r1", "o.py") in live_at_100
+
+
+def test_cow_asof_respects_tombstones(spark, tmp_path):
+    """COW deletes are upserted as tombstone rows (only purge passes
+    op_col), so point-in-time reads over a COW table must not resurrect
+    deleted keys (second-pass review claimed the opposite — pin the
+    actual behavior)."""
+    eng = CdcEngine(spark, str(tmp_path / "cowasof"), mode="cow", n_buckets=2)
+    schema = (
+        "seq long, op string, repo string, path string, commit string,"
+        " lang string, content string, event_ts timestamp"
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(10, "I", "r1", "k.py", "c1", "en", "x", None)], schema
+        ),
+        "b0",
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(90, "D", "r1", "k.py", "c2", "en", "", None)], schema
+        ),
+        "b1",
+    )
+    at100 = {(r["repo"], r["path"]) for r in eng.table.read_asof(100).collect()}
+    assert ("r1", "k.py") not in at100  # deleted at 90 <= cut
+    at50 = {(r["repo"], r["path"]) for r in eng.table.read_asof(50).collect()}
+    assert ("r1", "k.py") in at50  # still live at 50

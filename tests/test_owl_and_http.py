@@ -256,3 +256,13 @@ def test_query_guard_rejects_nested_dml(server):
         server, {"sql": "WITH t AS (SELECT 1 AS a) SELECT a FROM t"}
     )
     assert code == 200 and doc["results"]["bindings"][0]["a"]["value"] == "1"
+
+
+def test_limit_zero_honored(server):
+    """limit=0 is a request for zero rows, not 'use the default'
+    (review finding)."""
+    code, doc = _post(
+        server, {"sql": "SELECT repo FROM repo_files", "limit": 0}
+    )
+    assert code == 200
+    assert doc["results"]["bindings"] == []

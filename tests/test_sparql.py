@@ -535,3 +535,42 @@ def test_parsed_ast_is_reusable(dataset):
     r1 = sparql_df(dataset, q).collect()
     r2 = sparql_df(dataset, q).collect()
     assert r1 == r2 and r1[0]["n"] == 2.0
+
+
+def test_optional_keeps_equi_join_plan(dataset):
+    """Review finding: marking every right-side column maybe-unbound
+    turned ALL OPTIONALs into non-equi nested-loop joins. A plain
+    OPTIONAL whose shared var is certainly bound on both sides must plan
+    as a hash-joinable left join, not BroadcastNestedLoopJoin."""
+    df = sparql_df(dataset, PROLOGUE + """
+        SELECT ?ds ?t ?c WHERE {
+            ?ds dct:title ?t .
+            OPTIONAL { <<?ds dcat:theme ?th>> ex:confidence ?c }
+        }""")
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # and the results are still left-join correct (DS4 title absent, DS1-3
+    # have confidences, unmatched rows keep ?c null)
+    got = dict(rows(df, "ds", "c"))
+    assert got[_ds("DS1")] == "0.95" and len(got) == 3
+
+
+def test_count_distinct_star(dataset):
+    """COUNT(DISTINCT *) counts distinct solutions (review finding: the
+    DISTINCT was silently ignored)."""
+    doc = execute_sparql(dataset, PROLOGUE + """
+        SELECT (COUNT(DISTINCT *) AS ?n) WHERE {
+            { ?ds dcat:theme ?th } UNION { ?ds dcat:theme ?th }
+        }""")
+    assert doc["results"]["bindings"][0]["n"]["value"] == "5"
+
+
+def test_construct_quoted_template_is_loud(dataset):
+    with pytest.raises(SparqlUnsupported, match="template"):
+        sparql_df(dataset, PROLOGUE + """
+            CONSTRUCT { <<?ds dcat:theme ?t>> ex:seen "1" }
+            WHERE { ?ds dcat:theme ?t }""")
