@@ -189,12 +189,7 @@ class QueryServer:
                 "served; commands are rejected"
             )
         self._reject_non_query(sql)
-        # limit=0 is a valid request for zero rows — `or` would silently
-        # turn it into max_limit (review finding)
-        lim = min(
-            self.max_limit if limit is None else max(0, limit),
-            self.max_limit,
-        )
+        lim = self._clamp_limit(limit)
         with self._view_lock:
             self._refresh()
             df = self.spark.sql(sql)  # analysis is eager: views resolve here
@@ -212,14 +207,20 @@ class QueryServer:
             raise ValueError("empty sparql query")
         from .queries.sparql import dataset_from_engine, execute_sparql
 
-        lim = min(
-            self.max_limit if limit is None else max(0, limit),
-            self.max_limit,
-        )
+        lim = self._clamp_limit(limit)
         with self._view_lock:
             self._refresh()
             ds = dataset_from_engine(self.engine)
         return execute_sparql(ds, text, limit=lim)
+
+    def _clamp_limit(self, limit: int | None) -> int:
+        """limit=0 is a valid request for zero rows — `or`-defaulting
+        would silently turn it into max_limit (review finding); negative
+        values clamp to 0."""
+        return min(
+            self.max_limit if limit is None else max(0, limit),
+            self.max_limit,
+        )
 
     def health(self) -> dict[str, Any]:
         ok = self.engine.table.exists()

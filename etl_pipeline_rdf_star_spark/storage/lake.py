@@ -347,7 +347,30 @@ class LakeTable:
         survivors = existing.join(keys, on=self.key_cols, how="left_anti")
 
         inserts = src
+        drop_stats: dict[str, Any] = {}
         if op_col:
+            # stats over the D rows (one tiny agg, purge path only): a
+            # row-dropping commit must record the max dropped seq so
+            # read_asof can tell WHICH cuts it invalidates — and an
+            # op_col batch with no D rows drops nothing and must not be
+            # marked at all (review findings: blanket marking degraded
+            # every later as-of; markers also have to survive
+            # expire_snapshots via the sidecar watermark)
+            dd = src.where(F.col(op_col) == "D")
+            if "seq" in src.columns:
+                r = dd.agg(
+                    F.count(F.lit(1)).alias("n"), F.max("seq").alias("m")
+                ).first()
+                n_d, max_d = int(r["n"]), r["m"]
+            else:
+                n_d, max_d = dd.limit(1).count(), None
+            if n_d:
+                drop_stats = {
+                    "drops_rows": True,
+                    "drops_rows_below": (
+                        int(max_d) if max_d is not None else None
+                    ),
+                }
             inserts = inserts.where(F.col(op_col) != "D").drop(op_col)
         merged = survivors.unionByName(
             inserts, allowMissingColumns=True
@@ -368,13 +391,13 @@ class LakeTable:
             summary={
                 "batch_id": batch_id,
                 "affected_buckets": sorted(affected),
-                # op_col merges physically REMOVE rows (purge_tombstones):
-                # time travel must not base itself past this commit
-                **({"drops_rows": True} if op_col else {}),
+                **drop_stats,
             },
             timestamp=time.time(),
         )
         self._commit(out_snap)
+        if drop_stats:
+            self._bump_purge_watermark(drop_stats["drops_rows_below"])
         return MergeStats(
             batch_id=batch_id,
             skipped=False,
@@ -524,6 +547,34 @@ class LakeTable:
             out = out.where(~F.coalesce(F.col(deleted_col), F.lit(False)))
         return out
 
+    def purge_watermark(self) -> dict[str, Any] | None:
+        """Durable row-drop record: ``{"below_seq": int|None, "n_purges":
+        int}`` — the max event seq any tombstone-dropping rewrite ever
+        removed (None = unknown/unbounded) and how many such rewrites
+        happened. Lives in a table-root sidecar file, NOT in snapshot
+        logs, because expire_snapshots deletes old logs and with them any
+        per-commit marker — which would silently re-open the
+        as-of-past-purge hole (review finding). Returns None if no rows
+        were ever dropped."""
+        try:
+            with open(os.path.join(self.path, "_purge_watermark.json")) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _bump_purge_watermark(self, below_seq: int | None) -> None:
+        cur = self.purge_watermark() or {"below_seq": 0, "n_purges": 0}
+        old = cur.get("below_seq")
+        if old is None or below_seq is None:
+            new_below = None  # unknown stays unknown (unbounded)
+        else:
+            new_below = max(int(old), int(below_seq))
+        out = {"below_seq": new_below, "n_purges": int(cur.get("n_purges", 0)) + 1}
+        tmp = os.path.join(self.path, f"_purge_watermark.json.tmp{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(out, f)
+        os.replace(tmp, os.path.join(self.path, "_purge_watermark.json"))
+
     def max_order(self, order_col: str = "seq") -> int | None:
         """Global max of the order column from manifest stats alone (no
         Spark job). Scans EVERY retained snapshot's manifest, not just the
@@ -609,22 +660,46 @@ class LakeTable:
                 s.summary.get("batch_id", "")
             ).startswith("purge-")
 
-        # A compacted snapshot at/after a tombstone-dropping rewrite is
-        # NOT a sound as-of base: the purge may have removed a post-cut
-        # delete's tombstone AND its key's entire history from the
-        # current files, so the snapshot's seq_max can sit below the cut
-        # while silently missing keys that were live at the cut (review
-        # finding). Bases must predate the first such rewrite; the
-        # victims' original files are then read as deltas.
-        purge_vs = [v for v in vs if drops_rows(snaps[v])]
-        first_purge_v = purge_vs[0] if purge_vs else None
+        # A compacted snapshot at/after a tombstone-dropping rewrite can
+        # silently MISS keys live at the cut: the purge removed a
+        # post-cut delete's tombstone and with it the key's entire
+        # current-file history, while the snapshot's seq_max still sits
+        # below the cut (review finding). But a purge only poisons cuts
+        # BELOW its victims' max seq ("drops_rows_below"): at or above
+        # it every victim was already deleted, so post-purge bases stay
+        # sound — blanket disqualification would make routine
+        # maintenance degrade or break valid as-of reads forever (review
+        # finding #2). Expired purge commits are covered by the durable
+        # sidecar watermark: if history was expired and fewer purge
+        # commits are retained than the sidecar counts, the missing ones
+        # predate every retained version, so any cut below the sidecar
+        # watermark disqualifies ALL bases → explicit raise, never a
+        # silently wrong result (review finding #1).
+        purges = [
+            (v, snaps[v].summary.get("drops_rows_below"))
+            for v in vs
+            if drops_rows(snaps[v])
+        ]
+        wm = self.purge_watermark()
+        expired_purge_unsound = False
+        if wm is not None and len(purges) < int(wm.get("n_purges", 0)):
+            below = wm.get("below_seq")
+            expired_purge_unsound = below is None or seq_cut < int(below)
+
+        def base_unsound(v: int) -> bool:
+            if expired_purge_unsound:
+                return True  # an expired purge predates every candidate
+            return any(
+                pv <= v and (pb is None or seq_cut < int(pb))
+                for pv, pb in purges
+            )
 
         base_v = None
         for v in vs:
             s = snaps[v]
             if s.summary.get("mode") != "compact":
                 continue
-            if first_purge_v is not None and v >= first_purge_v:
+            if base_unsound(v):
                 continue
             m = snap_max(s)
             if m is not None and m <= seq_cut:
@@ -724,10 +799,37 @@ class LakeTable:
         key (optionally dropping tombstones once the watermark allows).
         Equivalent to Iceberg's rewrite_data_files maintenance action."""
         snap = self.snapshot()
-        resolved = self.read_resolved(
-            order_col=order_col, deleted_col=deleted_col,
-            keep_deleted=not drop_tombstones,
-        )
+        drop_stats: dict[str, Any] = {}
+        if drop_tombstones:
+            all_rows = self.read_resolved(
+                order_col=order_col, deleted_col=deleted_col,
+                keep_deleted=True,
+            )
+            if deleted_col in all_rows.columns:
+                tombs = all_rows.where(
+                    F.coalesce(F.col(deleted_col), F.lit(False))
+                )
+                agg = [F.count(F.lit(1)).alias("n")]
+                if order_col == "seq" and "seq" in all_rows.columns:
+                    agg.append(F.max("seq").alias("m"))
+                r = tombs.agg(*agg).first()
+                if int(r["n"]):
+                    drop_stats = {
+                        "drops_rows": True,
+                        "drops_rows_below": (
+                            int(r["m"])
+                            if "m" in r.asDict() and r["m"] is not None
+                            else None
+                        ),
+                    }
+            resolved = all_rows.where(
+                ~F.coalesce(F.col(deleted_col), F.lit(False))
+            ) if deleted_col in all_rows.columns else all_rows
+        else:
+            resolved = self.read_resolved(
+                order_col=order_col, deleted_col=deleted_col,
+                keep_deleted=True,
+            )
         bid = batch_id or f"compact-{snap.version}"
         version = snap.version + 1
         files = self._write_data(self._with_bucket(resolved), version)
@@ -740,11 +842,13 @@ class LakeTable:
             summary={
                 "batch_id": bid,
                 "mode": "compact",
-                **({"drops_rows": True} if drop_tombstones else {}),
+                **drop_stats,
             },
             timestamp=time.time(),
         )
         self._commit(out_snap)
+        if drop_stats:
+            self._bump_purge_watermark(drop_stats["drops_rows_below"])
         return MergeStats(batch_id=bid, skipped=False, version=version)
 
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:

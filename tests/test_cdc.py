@@ -532,3 +532,74 @@ def test_cow_asof_respects_tombstones(spark, tmp_path):
     assert ("r1", "k.py") not in at100  # deleted at 90 <= cut
     at50 = {(r["repo"], r["path"]) for r in eng.table.read_asof(50).collect()}
     assert ("r1", "k.py") in at50  # still live at 50
+
+
+def test_asof_after_purge_and_expiry_is_loud_not_wrong(spark, tmp_path):
+    """Review finding: expire_snapshots used to delete the purge commit's
+    log entry and with it the drops_rows marker — a post-purge compacted
+    snapshot then won base selection and keys live at the cut silently
+    vanished. The durable sidecar watermark must turn that into an
+    explicit error."""
+    import pytest as _pytest
+
+    eng = CdcEngine(spark, str(tmp_path / "asofe"), mode="mor", n_buckets=2)
+    schema = (
+        "seq long, op string, repo string, path string, commit string,"
+        " lang string, content string, event_ts timestamp"
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [
+                (10, "I", "r1", "k.py", "c1", "en", "x", None),
+                (20, "I", "r1", "o.py", "c1", "en", "y", None),
+            ],
+            schema,
+        ),
+        "b0",
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(150, "D", "r1", "k.py", "c2", "en", "", None)], schema
+        ),
+        "b1",
+    )
+    eng.purge_tombstones()
+    eng.table.compact()
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(200, "I", "r1", "p.py", "c3", "en", "z", None)], schema
+        ),
+        "b2",
+    )
+    eng.table.expire_snapshots(keep_last=2)  # purge commit's log is gone
+    with _pytest.raises((ValueError, FileNotFoundError)):
+        eng.state_at(100).collect()  # below the purge watermark: refuse
+    # at/above the watermark the post-purge base is sound and must serve
+    live_at_200 = {
+        (r["repo"], r["path"]) for r in eng.state_at(200).collect()
+    }
+    assert live_at_200 == {("r1", "o.py"), ("r1", "p.py")}
+
+
+def test_opcol_merge_without_deletes_keeps_asof_bases(spark, tmp_path):
+    """Review finding: op_col merges were marked drops_rows even with no
+    D rows, permanently disqualifying later as-of bases for no reason."""
+    from etl_pipeline_rdf_star_spark.storage.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "ocl"), key_cols=["k"], n_buckets=2)
+    df1 = spark.createDataFrame(
+        [("a", 1, "U"), ("b", 2, "U")], "k string, seq long, _op string"
+    )
+    t.create(df1.drop("_op"), "b0")
+    t.merge(
+        spark.createDataFrame([("a", 3, "U")], "k string, seq long, _op string"),
+        "b1",
+        op_col="_op",
+    )
+    snap = t.snapshot()
+    assert "drops_rows" not in snap.summary
+    assert t.purge_watermark() is None
+    t.compact()
+    # the post-merge compacted snapshot qualifies as an as-of base
+    got = {(r["k"], r["seq"]) for r in t.read_asof(3).collect()}
+    assert got == {("a", 3), ("b", 2)}

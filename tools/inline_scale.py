@@ -146,6 +146,20 @@ def main() -> None:
             ):
                 rounds = list(prev.get("rounds", []))
                 print(f"appending to {len(rounds)} prior rounds", flush=True)
+            elif prev.get("rounds"):
+                # refuse to silently DESTROY recorded rounds of a
+                # different config (this exact mistake once wiped a
+                # 4-round weak section) — pick a new SCALE_METHOD name
+                raise SystemExit(
+                    f"SCALE_APPEND=1 but section {name!r} holds "
+                    f"{len(prev['rounds'])} rounds at n_events="
+                    f"{prev.get('n_events')}/repeat="
+                    f"{prev.get('content_repeat')} (this run: {ne}/"
+                    f"{REPEAT}); overwriting would discard them. Use a "
+                    "different SCALE_METHOD for a new config."
+                )
+        except SystemExit:
+            raise
         except Exception:
             pass
     for i in range(ROUNDS):
