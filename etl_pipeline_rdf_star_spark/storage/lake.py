@@ -313,6 +313,30 @@ class LakeTable:
             return MergeStats(batch_id=batch_id, skipped=True, version=snap.version)
 
         src = self._with_bucket(src)
+        drop_stats: dict[str, Any] = {}
+        if op_col:
+            # stats over the D rows on the RAW batch, before the stale-key
+            # anti-join below — one src-only pass instead of re-evaluating
+            # the bucket-read join plan per call (review finding).
+            # Conservative: a D row later discarded as stale still marks
+            # the commit; over-marking costs as-of base availability below
+            # the watermark, never correctness. An op_col batch with NO D
+            # rows drops nothing and is not marked at all.
+            dd = src.where(F.col(op_col) == "D")
+            if "seq" in src.columns:
+                r = dd.agg(
+                    F.count(F.lit(1)).alias("n"), F.max("seq").alias("m")
+                ).first()
+                n_d, max_d = int(r["n"]), r["m"]
+            else:
+                n_d, max_d = dd.limit(1).count(), None
+            if n_d:
+                drop_stats = {
+                    "drops_rows": True,
+                    "drops_rows_below": (
+                        int(max_d) if max_d is not None else None
+                    ),
+                }
         # ≤ n_buckets ints — the only driver-side collect; callers that
         # already aggregated per-bucket stats pass the list in and save a job
         affected = (
@@ -347,30 +371,7 @@ class LakeTable:
         survivors = existing.join(keys, on=self.key_cols, how="left_anti")
 
         inserts = src
-        drop_stats: dict[str, Any] = {}
         if op_col:
-            # stats over the D rows (one tiny agg, purge path only): a
-            # row-dropping commit must record the max dropped seq so
-            # read_asof can tell WHICH cuts it invalidates — and an
-            # op_col batch with no D rows drops nothing and must not be
-            # marked at all (review findings: blanket marking degraded
-            # every later as-of; markers also have to survive
-            # expire_snapshots via the sidecar watermark)
-            dd = src.where(F.col(op_col) == "D")
-            if "seq" in src.columns:
-                r = dd.agg(
-                    F.count(F.lit(1)).alias("n"), F.max("seq").alias("m")
-                ).first()
-                n_d, max_d = int(r["n"]), r["m"]
-            else:
-                n_d, max_d = dd.limit(1).count(), None
-            if n_d:
-                drop_stats = {
-                    "drops_rows": True,
-                    "drops_rows_below": (
-                        int(max_d) if max_d is not None else None
-                    ),
-                }
             inserts = inserts.where(F.col(op_col) != "D").drop(op_col)
         merged = survivors.unionByName(
             inserts, allowMissingColumns=True
@@ -395,9 +396,15 @@ class LakeTable:
             },
             timestamp=time.time(),
         )
-        self._commit(out_snap)
+        # bump BEFORE the commit: a crash between commit and bump would
+        # leave a drops_rows commit the sidecar never counted, silently
+        # defeating expired-purge detection (review finding). The reverse
+        # order over-counts on commit failure, which only makes expiry
+        # detection MORE conservative (an explicit raise, never wrong
+        # data).
         if drop_stats:
             self._bump_purge_watermark(drop_stats["drops_rows_below"])
+        self._commit(out_snap)
         return MergeStats(
             batch_id=batch_id,
             skipped=False,
@@ -652,11 +659,18 @@ class LakeTable:
                 return None
             return max(maxes)
 
+        wm = self.purge_watermark()
+
         def drops_rows(s: Snapshot) -> bool:
-            # tombstone-dropping rewrites: explicit marker, plus the
-            # legacy purge batch-id prefix for tables written before the
-            # marker existed
-            return bool(s.summary.get("drops_rows")) or str(
+            if s.summary.get("drops_rows"):
+                return True
+            # legacy 'purge-' batch-id prefix: trusted ONLY on pre-sidecar
+            # tables (wm is None). On sidecar-era tables every real purge
+            # carries the explicit marker, and no-op purges don't commit
+            # at all — so an unmarked purge-prefixed commit there would be
+            # a false positive that disqualifies bases forever (review
+            # finding).
+            return wm is None and str(
                 s.summary.get("batch_id", "")
             ).startswith("purge-")
 
@@ -680,7 +694,6 @@ class LakeTable:
             for v in vs
             if drops_rows(snaps[v])
         ]
-        wm = self.purge_watermark()
         expired_purge_unsound = False
         if wm is not None and len(purges) < int(wm.get("n_purges", 0)):
             below = wm.get("below_seq")
@@ -800,11 +813,15 @@ class LakeTable:
         Equivalent to Iceberg's rewrite_data_files maintenance action."""
         snap = self.snapshot()
         drop_stats: dict[str, Any] = {}
+        persisted = None
         if drop_tombstones:
-            all_rows = self.read_resolved(
+            # persist: the stats agg and the rewrite below would otherwise
+            # each re-run the full base+delta resolution window (review
+            # finding: purging compactions paid the table scan twice)
+            all_rows = persisted = self.read_resolved(
                 order_col=order_col, deleted_col=deleted_col,
                 keep_deleted=True,
-            )
+            ).persist()
             if deleted_col in all_rows.columns:
                 tombs = all_rows.where(
                     F.coalesce(F.col(deleted_col), F.lit(False))
@@ -846,9 +863,11 @@ class LakeTable:
             },
             timestamp=time.time(),
         )
-        self._commit(out_snap)
-        if drop_stats:
+        if drop_stats:  # before the commit — see merge() for why
             self._bump_purge_watermark(drop_stats["drops_rows_below"])
+        self._commit(out_snap)
+        if persisted is not None:
+            persisted.unpersist()
         return MergeStats(batch_id=bid, skipped=False, version=version)
 
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
@@ -867,7 +886,23 @@ class LakeTable:
         }
         deleted = 0
         for v in drop:
-            for f in self.snapshot(v).files:
+            s = self.snapshot(v)
+            # Keep the purge ledger sound across expiry (review finding):
+            # sidecar-era purges were counted at commit time, but LEGACY
+            # 'purge-' commits (pre-sidecar tables) and marker-bearing
+            # commits on tables that somehow lost the sidecar were not —
+            # expiring their log entry without counting them would let a
+            # post-purge base silently serve wrong sub-watermark as-of
+            # reads. Count them now, before their log disappears.
+            marked = bool(s.summary.get("drops_rows"))
+            legacy_purge = not marked and str(
+                s.summary.get("batch_id", "")
+            ).startswith("purge-")
+            if legacy_purge or (marked and self.purge_watermark() is None):
+                self._bump_purge_watermark(
+                    s.summary.get("drops_rows_below") if marked else None
+                )
+            for f in s.files:
                 p = self._abs(f["path"])
                 if p not in referenced and os.path.exists(p):
                     os.unlink(p)

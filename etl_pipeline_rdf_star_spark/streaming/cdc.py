@@ -425,13 +425,23 @@ class CdcEngine:
         df = self.table.read()
         if "_deleted" not in df.columns:
             return
-        tombs = df.where(F.coalesce(F.col("_deleted"), F.lit(False)))
-        snap = self.table.snapshot()
-        self.table.merge(
-            tombs.withColumn("_op", F.lit("D")),
-            f"purge-{snap.version}",
-            op_col="_op",
-        )
+        tombs = df.where(F.coalesce(F.col("_deleted"), F.lit(False))).persist()
+        try:
+            if not tombs.limit(1).count():
+                # nothing to purge: committing anyway would create a
+                # 'purge-N' commit without drop stats, which the legacy
+                # prefix rule in read_asof must treat as an unbounded
+                # row-dropper (review finding: a no-op purge then bricks
+                # all as-of reads after expiry)
+                return
+            snap = self.table.snapshot()
+            self.table.merge(
+                tombs.withColumn("_op", F.lit("D")),
+                f"purge-{snap.version}",
+                op_col="_op",
+            )
+        finally:
+            tombs.unpersist()
 
     # -- CDC ---------------------------------------------------------------
 

@@ -540,8 +540,6 @@ def test_asof_after_purge_and_expiry_is_loud_not_wrong(spark, tmp_path):
     snapshot then won base selection and keys live at the cut silently
     vanished. The durable sidecar watermark must turn that into an
     explicit error."""
-    import pytest as _pytest
-
     eng = CdcEngine(spark, str(tmp_path / "asofe"), mode="mor", n_buckets=2)
     schema = (
         "seq long, op string, repo string, path string, commit string,"
@@ -572,7 +570,7 @@ def test_asof_after_purge_and_expiry_is_loud_not_wrong(spark, tmp_path):
         "b2",
     )
     eng.table.expire_snapshots(keep_last=2)  # purge commit's log is gone
-    with _pytest.raises((ValueError, FileNotFoundError)):
+    with pytest.raises(ValueError):
         eng.state_at(100).collect()  # below the purge watermark: refuse
     # at/above the watermark the post-purge base is sound and must serve
     live_at_200 = {
@@ -603,3 +601,61 @@ def test_opcol_merge_without_deletes_keeps_asof_bases(spark, tmp_path):
     # the post-merge compacted snapshot qualifies as an as-of base
     got = {(r["k"], r["seq"]) for r in t.read_asof(3).collect()}
     assert got == {("a", 3), ("b", 2)}
+
+
+def test_noop_purge_commits_nothing(spark, tmp_path):
+    """Review finding: a purge with zero tombstones used to commit a
+    'purge-N' batch that the legacy prefix rule then treated as an
+    unbounded row-dropper, bricking every as-of read after expiry. A
+    no-op purge must not commit at all."""
+    eng = CdcEngine(spark, str(tmp_path / "noop"), mode="mor", n_buckets=2)
+    schema = (
+        "seq long, op string, repo string, path string, commit string,"
+        " lang string, content string, event_ts timestamp"
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(1, "I", "r1", "a.py", "c1", "en", "x", None)], schema
+        ),
+        "b0",
+    )
+    v_before = eng.table.snapshot().version
+    eng.purge_tombstones()  # nothing to purge
+    assert eng.table.snapshot().version == v_before
+    assert eng.table.purge_watermark() is None
+    eng.table.compact()
+    eng.apply_batch(
+        spark.createDataFrame(
+            [(2, "I", "r1", "b.py", "c2", "en", "y", None)], schema
+        ),
+        "b1",
+    )
+    eng.table.expire_snapshots(keep_last=2)
+    assert eng.state_at(1).count() == 1  # still time-travelable
+
+
+def test_legacy_purge_counted_at_expiry(spark, tmp_path):
+    """Review finding: legacy 'purge-' commits (pre-sidecar tables) were
+    never counted, so expiring them silently re-opened the
+    as-of-past-purge hole. expire_snapshots must fold them into the
+    sidecar so sub-watermark reads refuse loudly."""
+    from etl_pipeline_rdf_star_spark.storage.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "leg"), key_cols=["k"], n_buckets=2)
+    t.create(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, seq long"),
+        "b0",
+    )
+    # simulate a legacy purge: prefix batch id, NO drops_rows marker
+    t.merge(
+        spark.createDataFrame([("a", 3)], "k string, seq long"), "purge-sim"
+    )
+    t.compact()
+    t.merge_mor(
+        spark.createDataFrame([("c", 4)], "k string, seq long"), "b1"
+    )
+    t.expire_snapshots(keep_last=2)  # drops create + legacy purge logs
+    wm = t.purge_watermark()
+    assert wm is not None and wm["n_purges"] >= 1
+    with pytest.raises(ValueError):
+        t.read_asof(2).collect()  # sub-watermark: loud, not wrong

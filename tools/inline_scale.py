@@ -158,9 +158,7 @@ def main() -> None:
                     f"{REPEAT}); overwriting would discard them. Use a "
                     "different SCALE_METHOD for a new config."
                 )
-        except SystemExit:
-            raise
-        except Exception:
+        except Exception:  # SystemExit passes through (BaseException)
             pass
     for i in range(ROUNDS):
         lo = run(N)
