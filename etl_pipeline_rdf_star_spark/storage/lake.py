@@ -403,7 +403,9 @@ class LakeTable:
         # detection MORE conservative (an explicit raise, never wrong
         # data).
         if drop_stats:
-            self._bump_purge_watermark(drop_stats["drops_rows_below"])
+            self._bump_purge_watermark(
+                drop_stats["drops_rows_below"], batch_id
+            )
         self._commit(out_snap)
         return MergeStats(
             batch_id=batch_id,
@@ -555,28 +557,44 @@ class LakeTable:
         return out
 
     def purge_watermark(self) -> dict[str, Any] | None:
-        """Durable row-drop record: ``{"below_seq": int|None, "n_purges":
-        int}`` — the max event seq any tombstone-dropping rewrite ever
-        removed (None = unknown/unbounded) and how many such rewrites
-        happened. Lives in a table-root sidecar file, NOT in snapshot
-        logs, because expire_snapshots deletes old logs and with them any
-        per-commit marker — which would silently re-open the
-        as-of-past-purge hole (review finding). Returns None if no rows
-        were ever dropped."""
+        """Durable row-drop ledger: ``{"below_seq": int|None, "counted":
+        {batch_id: below_seq|None}, "n_purges": int}`` — per
+        row-dropping-commit max dropped seq (None = unknown/unbounded),
+        keyed by batch id, plus the global max and a derived count. Lives
+        in a table-root sidecar file, NOT in snapshot logs, because
+        expire_snapshots deletes old logs and with them any per-commit
+        marker — which would silently re-open the as-of-past-purge hole
+        (review finding). Keying by batch id makes the record idempotent
+        under commit retries (a ConcurrentCommitError retry re-bumps the
+        same id harmlessly), and read_asof can tell EXPIRED purges apart
+        from never-committed bump attempts by intersecting with the
+        current snapshot's committed_batches, which survives expiry.
+        Returns None if no rows were ever dropped."""
         try:
             with open(os.path.join(self.path, "_purge_watermark.json")) as f:
-                return json.load(f)
+                d = json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
             return None
+        d.setdefault("counted", {})
+        d["n_purges"] = max(
+            len(d["counted"]), int(d.get("n_purges", 0))
+        )
+        return d
 
-    def _bump_purge_watermark(self, below_seq: int | None) -> None:
-        cur = self.purge_watermark() or {"below_seq": 0, "n_purges": 0}
+    def _bump_purge_watermark(
+        self, below_seq: int | None, batch_id: str
+    ) -> None:
+        cur = self.purge_watermark() or {"below_seq": 0, "counted": {}}
+        counted = dict(cur.get("counted", {}))
+        if batch_id in counted:  # retry of the same commit: idempotent
+            return
+        counted[batch_id] = below_seq if below_seq is None else int(below_seq)
         old = cur.get("below_seq")
         if old is None or below_seq is None:
             new_below = None  # unknown stays unknown (unbounded)
         else:
             new_below = max(int(old), int(below_seq))
-        out = {"below_seq": new_below, "n_purges": int(cur.get("n_purges", 0)) + 1}
+        out = {"below_seq": new_below, "counted": counted}
         tmp = os.path.join(self.path, f"_purge_watermark.json.tmp{os.getpid()}")
         with open(tmp, "w") as f:
             json.dump(out, f)
@@ -662,15 +680,15 @@ class LakeTable:
         wm = self.purge_watermark()
 
         def drops_rows(s: Snapshot) -> bool:
-            if s.summary.get("drops_rows"):
-                return True
-            # legacy 'purge-' batch-id prefix: trusted ONLY on pre-sidecar
-            # tables (wm is None). On sidecar-era tables every real purge
-            # carries the explicit marker, and no-op purges don't commit
-            # at all — so an unmarked purge-prefixed commit there would be
-            # a false positive that disqualifies bases forever (review
-            # finding).
-            return wm is None and str(
+            # the explicit marker, plus the legacy 'purge-' batch-id
+            # prefix. The prefix is trusted unconditionally while the
+            # commit is RETAINED (review finding: gating it on the
+            # sidecar made real pre-sidecar purges invisible once any
+            # sidecar-era purge ran): for a real legacy purge this is
+            # required for correctness; for a pre-fix no-op purge commit
+            # it is conservative (disqualifies bases, never serves wrong
+            # data).
+            return bool(s.summary.get("drops_rows")) or str(
                 s.summary.get("batch_id", "")
             ).startswith("purge-")
 
@@ -694,10 +712,35 @@ class LakeTable:
             for v in vs
             if drops_rows(snaps[v])
         ]
-        expired_purge_unsound = False
-        if wm is not None and len(purges) < int(wm.get("n_purges", 0)):
-            below = wm.get("below_seq")
-            expired_purge_unsound = below is None or seq_cut < int(below)
+        # EXPIRED purges: a purge id in the current snapshot's
+        # committed_batches (which accumulates across versions and so
+        # survives expiry) that no retained snapshot log carries. The
+        # sidecar supplies its per-commit bound; ids never committed
+        # (crashed or retried bump attempts) are excluded by the
+        # committed_batches intersection, so transient commit conflicts
+        # cannot permanently inflate the ledger (review finding: the
+        # count-based check refused valid reads forever after one
+        # ConcurrentCommitError retry). A committed legacy 'purge-' id
+        # with no sidecar entry has an unknown bound → unbounded.
+        committed = set(snaps[vs[-1]].committed_batches)
+        retained_ids = {
+            str(snaps[v].summary.get("batch_id", "")) for v, _ in purges
+        }
+        counted = (wm or {}).get("counted", {})
+        expired_bounds = [
+            b
+            for bid, b in counted.items()
+            if bid in committed and bid not in retained_ids
+        ] + [
+            None  # legacy purge expired before it was ever counted
+            for bid in committed
+            if bid.startswith("purge-")
+            and bid not in counted
+            and bid not in retained_ids
+        ]
+        expired_purge_unsound = any(
+            b is None or seq_cut < int(b) for b in expired_bounds
+        )
 
         def base_unsound(v: int) -> bool:
             if expired_purge_unsound:
@@ -849,25 +892,32 @@ class LakeTable:
             )
         bid = batch_id or f"compact-{snap.version}"
         version = snap.version + 1
-        files = self._write_data(self._with_bucket(resolved), version)
-        out_snap = Snapshot(
-            version=version,
-            operation="compact",
-            files=files,  # replaces ALL files
-            schema_json=snap.schema_json,
-            committed_batches=snap.committed_batches + [bid],
-            summary={
-                "batch_id": bid,
-                "mode": "compact",
-                **drop_stats,
-            },
-            timestamp=time.time(),
-        )
-        if drop_stats:  # before the commit — see merge() for why
-            self._bump_purge_watermark(drop_stats["drops_rows_below"])
-        self._commit(out_snap)
-        if persisted is not None:
-            persisted.unpersist()
+        try:
+            files = self._write_data(self._with_bucket(resolved), version)
+            out_snap = Snapshot(
+                version=version,
+                operation="compact",
+                files=files,  # replaces ALL files
+                schema_json=snap.schema_json,
+                committed_batches=snap.committed_batches + [bid],
+                summary={
+                    "batch_id": bid,
+                    "mode": "compact",
+                    **drop_stats,
+                },
+                timestamp=time.time(),
+            )
+            if drop_stats:  # before the commit — see merge() for why
+                self._bump_purge_watermark(
+                    drop_stats["drops_rows_below"], bid
+                )
+            self._commit(out_snap)
+        finally:
+            # unpersist even when the write/commit raises (review
+            # finding: a leaked full-table cache per failed maintenance
+            # run pins executor memory for the driver's lifetime)
+            if persisted is not None:
+                persisted.unpersist()
         return MergeStats(batch_id=bid, skipped=False, version=version)
 
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
@@ -888,19 +938,21 @@ class LakeTable:
         for v in drop:
             s = self.snapshot(v)
             # Keep the purge ledger sound across expiry (review finding):
-            # sidecar-era purges were counted at commit time, but LEGACY
-            # 'purge-' commits (pre-sidecar tables) and marker-bearing
-            # commits on tables that somehow lost the sidecar were not —
-            # expiring their log entry without counting them would let a
+            # sidecar-era purges were recorded at commit time, but LEGACY
+            # 'purge-' commits (pre-sidecar tables) were not — expiring
+            # their log entry without recording them would let a
             # post-purge base silently serve wrong sub-watermark as-of
-            # reads. Count them now, before their log disappears.
+            # reads. Record every dropping commit now, before its log
+            # disappears; the id-keyed sidecar makes re-recording an
+            # already-counted commit a no-op, so the two sites cannot
+            # disagree (review finding: asymmetric counting bricked
+            # tables holding pre-fix no-op purge commits).
             marked = bool(s.summary.get("drops_rows"))
-            legacy_purge = not marked and str(
-                s.summary.get("batch_id", "")
-            ).startswith("purge-")
-            if legacy_purge or (marked and self.purge_watermark() is None):
+            bid_s = str(s.summary.get("batch_id", ""))
+            if marked or bid_s.startswith("purge-"):
                 self._bump_purge_watermark(
-                    s.summary.get("drops_rows_below") if marked else None
+                    s.summary.get("drops_rows_below") if marked else None,
+                    bid_s,
                 )
             for f in s.files:
                 p = self._abs(f["path"])

@@ -422,7 +422,14 @@ class CdcEngine:
         Safe once the event-time watermark guarantees no event older than the
         table's max seq can still arrive. Rewrites only buckets containing
         tombstones."""
-        df = self.table.read()
+        # RESOLVED tombstones only: on an uncompacted MoR table, raw
+        # read() still holds a delete version for keys that were later
+        # RE-INSERTED — key-replacement-merging those would destroy the
+        # live row (review finding). Resolution keeps only keys whose
+        # LATEST version is the tombstone; order_col="seq" additionally
+        # stale-guards against any racing newer version.
+        df = self.table.read_resolved(keep_deleted=True) \
+            if self.mode == "mor" else self.table.read()
         if "_deleted" not in df.columns:
             return
         tombs = df.where(F.coalesce(F.col("_deleted"), F.lit(False))).persist()
@@ -439,6 +446,7 @@ class CdcEngine:
                 tombs.withColumn("_op", F.lit("D")),
                 f"purge-{snap.version}",
                 op_col="_op",
+                order_col="seq",
             )
         finally:
             tombs.unpersist()

@@ -659,3 +659,52 @@ def test_legacy_purge_counted_at_expiry(spark, tmp_path):
     assert wm is not None and wm["n_purges"] >= 1
     with pytest.raises(ValueError):
         t.read_asof(2).collect()  # sub-watermark: loud, not wrong
+
+
+def test_purge_spares_reinserted_keys(spark, tmp_path):
+    """Review finding: on an uncompacted MoR table the raw log still
+    holds a delete version for keys later re-inserted; purging from the
+    raw log key-replacement-merged those keys and destroyed the live
+    row. Purge must act on RESOLVED tombstones only."""
+    eng = CdcEngine(spark, str(tmp_path / "reins"), mode="mor", n_buckets=2)
+    schema = (
+        "seq long, op string, repo string, path string, commit string,"
+        " lang string, content string, event_ts timestamp"
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [
+                (5, "I", "r1", "k.py", "c1", "en", "x", None),
+                (6, "I", "r1", "d.py", "c1", "en", "w", None),
+            ],
+            schema,
+        ),
+        "b0",
+    )
+    eng.apply_batch(
+        spark.createDataFrame(
+            [
+                (7, "D", "r1", "k.py", "c2", "en", "", None),
+                (8, "D", "r1", "d.py", "c2", "en", "", None),
+            ],
+            schema,
+        ),
+        "b1",
+    )
+    eng.apply_batch(  # k.py re-inserted AFTER its delete; d.py stays dead
+        spark.createDataFrame(
+            [(10, "I", "r1", "k.py", "c3", "en", "z", None)], schema
+        ),
+        "b2",
+    )
+    eng.purge_tombstones()  # no compaction ran: raw log has all versions
+    live = {
+        (r["repo"], r["path"], r["commit"])
+        for r in eng.current_state().collect()
+    }
+    assert ("r1", "k.py", "c3") in live  # re-inserted row survived
+    assert all(p != "d.py" for _, p, _ in live)
+    wm = eng.table.purge_watermark()
+    # the bound reflects the actually-purged tombstone (d.py@8), and the
+    # ledger keys by batch id
+    assert wm is not None and list(wm["counted"]) and wm["below_seq"] == 8
