@@ -575,10 +575,14 @@ class LakeTable:
                 d = json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
             return None
+        # id-keyed format only — no migration path: the earlier
+        # count-based format existed for a few hours of development and
+        # was never written to any durable table (serving warehouses
+        # never purge; all purging tables live in ephemeral test dirs),
+        # so carrying half-migrated fields would add an inconsistent
+        # surface for zero real tables (review finding)
         d.setdefault("counted", {})
-        d["n_purges"] = max(
-            len(d["counted"]), int(d.get("n_purges", 0))
-        )
+        d["n_purges"] = len(d["counted"])
         return d
 
     def _bump_purge_watermark(
@@ -857,42 +861,45 @@ class LakeTable:
         snap = self.snapshot()
         drop_stats: dict[str, Any] = {}
         persisted = None
-        if drop_tombstones:
-            # persist: the stats agg and the rewrite below would otherwise
-            # each re-run the full base+delta resolution window (review
-            # finding: purging compactions paid the table scan twice)
-            all_rows = persisted = self.read_resolved(
-                order_col=order_col, deleted_col=deleted_col,
-                keep_deleted=True,
-            ).persist()
-            if deleted_col in all_rows.columns:
-                tombs = all_rows.where(
-                    F.coalesce(F.col(deleted_col), F.lit(False))
-                )
-                agg = [F.count(F.lit(1)).alias("n")]
-                if order_col == "seq" and "seq" in all_rows.columns:
-                    agg.append(F.max("seq").alias("m"))
-                r = tombs.agg(*agg).first()
-                if int(r["n"]):
-                    drop_stats = {
-                        "drops_rows": True,
-                        "drops_rows_below": (
-                            int(r["m"])
-                            if "m" in r.asDict() and r["m"] is not None
-                            else None
-                        ),
-                    }
-            resolved = all_rows.where(
-                ~F.coalesce(F.col(deleted_col), F.lit(False))
-            ) if deleted_col in all_rows.columns else all_rows
-        else:
-            resolved = self.read_resolved(
-                order_col=order_col, deleted_col=deleted_col,
-                keep_deleted=True,
-            )
         bid = batch_id or f"compact-{snap.version}"
         version = snap.version + 1
         try:
+            if drop_tombstones:
+                # persist: the stats agg and the rewrite below would
+                # otherwise each re-run the full base+delta resolution
+                # window (review finding: purging compactions paid the
+                # table scan twice). Inside the try so the cache is
+                # released even when the FIRST job over it raises
+                # (review finding: the leak guard missed the stats agg).
+                all_rows = persisted = self.read_resolved(
+                    order_col=order_col, deleted_col=deleted_col,
+                    keep_deleted=True,
+                ).persist()
+                if deleted_col in all_rows.columns:
+                    tombs = all_rows.where(
+                        F.coalesce(F.col(deleted_col), F.lit(False))
+                    )
+                    agg = [F.count(F.lit(1)).alias("n")]
+                    if order_col == "seq" and "seq" in all_rows.columns:
+                        agg.append(F.max("seq").alias("m"))
+                    r = tombs.agg(*agg).first()
+                    if int(r["n"]):
+                        drop_stats = {
+                            "drops_rows": True,
+                            "drops_rows_below": (
+                                int(r["m"])
+                                if "m" in r.asDict() and r["m"] is not None
+                                else None
+                            ),
+                        }
+                resolved = all_rows.where(
+                    ~F.coalesce(F.col(deleted_col), F.lit(False))
+                ) if deleted_col in all_rows.columns else all_rows
+            else:
+                resolved = self.read_resolved(
+                    order_col=order_col, deleted_col=deleted_col,
+                    keep_deleted=True,
+                )
             files = self._write_data(self._with_bucket(resolved), version)
             out_snap = Snapshot(
                 version=version,
@@ -934,19 +941,17 @@ class LakeTable:
         referenced = {
             self._abs(f["path"]) for v in keep for f in self.snapshot(v).files
         }
-        deleted = 0
+        # Keep the purge ledger sound across expiry (review finding):
+        # sidecar-era purges were recorded at commit time, but LEGACY
+        # 'purge-' commits (pre-sidecar tables) were not — expiring their
+        # log entry without recording them would let a post-purge base
+        # silently serve wrong sub-watermark as-of reads. Record EVERY
+        # dropping commit in a pre-pass, before any log is deleted (a
+        # crash mid-deletion must not lose unrecorded markers); the
+        # id-keyed sidecar makes re-recording a no-op, so this site and
+        # read_asof cannot disagree about the same commit.
         for v in drop:
             s = self.snapshot(v)
-            # Keep the purge ledger sound across expiry (review finding):
-            # sidecar-era purges were recorded at commit time, but LEGACY
-            # 'purge-' commits (pre-sidecar tables) were not — expiring
-            # their log entry without recording them would let a
-            # post-purge base silently serve wrong sub-watermark as-of
-            # reads. Record every dropping commit now, before its log
-            # disappears; the id-keyed sidecar makes re-recording an
-            # already-counted commit a no-op, so the two sites cannot
-            # disagree (review finding: asymmetric counting bricked
-            # tables holding pre-fix no-op purge commits).
             marked = bool(s.summary.get("drops_rows"))
             bid_s = str(s.summary.get("batch_id", ""))
             if marked or bid_s.startswith("purge-"):
@@ -954,6 +959,9 @@ class LakeTable:
                     s.summary.get("drops_rows_below") if marked else None,
                     bid_s,
                 )
+        deleted = 0
+        for v in drop:
+            s = self.snapshot(v)
             for f in s.files:
                 p = self._abs(f["path"])
                 if p not in referenced and os.path.exists(p):
