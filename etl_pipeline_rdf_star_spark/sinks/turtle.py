@@ -25,10 +25,15 @@ Grammar subset (everything the reference fixtures use, verified against
 ``;``/``,`` lists, anonymous bnodes ``[...]`` (nested), collections
 ``(...)``, numeric/boolean shorthand literals, ``@lang``, ``^^dt``
 (prefixed or IRI), short and long (``\"\"\"``) strings with escapes,
-comments, quoted-triple SUBJECTS ``<< s p o >> pred obj`` (Turtle-star —
-what the reference emits), and TriG graph blocks ``<g> { ... }`` /
-``GRAPH <g> { ... }``. Quoted triples as OBJECTS are rejected with a
-clear error (the reference never produces them).
+comments, quoted triples in SUBJECT position ``<< s p o >> pred obj``
+(Turtle-star annotation style) AND in OBJECT position ``reifier
+rdf:reifies << s p o >>`` — including the RDF 1.2 triple-term spelling
+``<<( s p o )>>`` — which is the reference engine's OWN batch export
+shape (rdf_star_etl_yarrrml.py:496-503, output/batch_simulation/
+two_batches.trig), and TriG graph blocks ``<g> { ... }`` /
+``GRAPH <g> { ... }``. A single statement with quoted triples on BOTH
+ends is rejected with a clear error (one set of ``q_*`` columns; no
+known producer emits that shape).
 """
 
 from __future__ import annotations
@@ -285,7 +290,7 @@ class _Parser:
         kind, val = dt_tok
         return self._resolve(val) if kind == "iri" else self._expand_bare(val)
 
-    def _term(self, graph: str | None, *, as_subject: bool = False):
+    def _term(self, graph: str | None):
         """Returns (value, kind, dt, lang). kind ∈ iri|blank|literal|quoted;
         for quoted, value is the (s, p, o) tuple."""
         tok = self.lx.next()
@@ -322,7 +327,12 @@ class _Parser:
         if kind == "(":
             items = []
             while self.lx.peek() != (")", None):
-                items.append(self._term(graph))
+                item = self._term(graph)
+                if item[1] == "quoted":
+                    raise TurtleParseError(
+                        "quoted triples are not supported inside collections"
+                    )
+                items.append(item)
             self.lx.next()  # ')'
             if not items:
                 return (RDF_NIL, "iri", None, None)
@@ -338,13 +348,17 @@ class _Parser:
                     cur = nxt
             return (head, "blank", None, None)
         if kind == "<<":
-            if not as_subject:
-                raise TurtleParseError(
-                    "quoted triples are only supported in subject position"
-                )
+            # RDF 1.2 triple-term spelling <<( s p o )>> — what pyoxigraph
+            # (the reference's store) serializes for rdf:reifies objects —
+            # lexes as '<<' '(' ... ')' '>>'; the paren pair is optional
+            paren = self.lx.peek() == ("(", None)
+            if paren:
+                self.lx.next()
             qs, qsk, _, _ = self._term(graph)
             qp = self._predicate()
             qo, qok, _, _ = self._term(graph)
+            if paren and self.lx.next() != (")", None):
+                raise TurtleParseError("expected ')' in '<<( ... )>>'")
             if self.lx.next() != (">>", None):
                 raise TurtleParseError("expected '>>'")
             return ((qs, qp, qo), "quoted", None, None)
@@ -368,12 +382,22 @@ class _Parser:
     def _emit(self, s, skind, p, o, okind, dt, lang, graph, quoted=None):
         row = {
             "predicate": p,
-            "object": o,
             "object_datatype": dt,
             "object_lang": lang,
             "object_kind": okind,
             "graph": graph if graph is not None else self.default_graph,
         }
+        if skind == "quoted" and okind == "quoted":
+            raise TurtleParseError(
+                "quoted triples on both subject and object of one "
+                "statement are not supported (single q_s/q_p/q_o column set)"
+            )
+        if okind == "quoted":
+            # reference export shape: `reifier rdf:reifies <<( s p o )>>` —
+            # the quoted triple rides in the q_* columns, object stays NULL
+            row["q_s"], row["q_p"], row["q_o"] = o
+        else:
+            row["object"] = o
         if skind == "quoted":
             row["subject_kind"] = "quoted"
             row["q_s"], row["q_p"], row["q_o"] = quoted
@@ -386,10 +410,6 @@ class _Parser:
             p = self._predicate()
             while True:
                 o, okind, dt, lang = self._term(graph)
-                if okind == "quoted":
-                    raise TurtleParseError(
-                        "quoted triples are only supported in subject position"
-                    )
                 self._emit(s, skind, p, o, okind, dt, lang, graph, quoted)
                 if self.lx.peek() == (",", None):
                     self.lx.next()
@@ -407,7 +427,7 @@ class _Parser:
     # -- statements --------------------------------------------------------
 
     def _statement(self, graph: str | None, *, in_block: bool = False) -> None:
-        s, skind, _, _ = self._term(graph, as_subject=True)
+        s, skind, _, _ = self._term(graph)
         if skind == "quoted":
             self._po_list(None, "quoted", graph, quoted=s)
         elif skind == "blank" and self.lx.peek() == (".", None):
@@ -477,7 +497,7 @@ class _Parser:
                 "true",
                 "false",
             ):
-                s, skind, _, _ = self._term(None, as_subject=True)
+                s, skind, _, _ = self._term(None)
                 if self.lx.peek() == ("{", None):
                     self._block(s)
                     continue
