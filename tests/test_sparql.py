@@ -164,9 +164,9 @@ def test_batch_query_library_select_forms_parse():
             ok += 1
         except (SparqlUnsupported, SparqlParseError) as e:
             unsupported.append(str(e)[:80])
-    # EXISTS nested inside IF() expressions is declared out of subset;
-    # everything else must parse
-    assert ok >= len(selects) - 2, unsupported
+    # round-4: expression-level EXISTS landed — the ENTIRE shipped
+    # SELECT library must parse
+    assert ok == len(selects), unsupported
 
 
 # ---------------------------------------------------------------------------
@@ -574,3 +574,85 @@ def test_construct_quoted_template_is_loud(dataset):
         sparql_df(dataset, PROLOGUE + """
             CONSTRUCT { <<?ds dcat:theme ?t>> ex:seen "1" }
             WHERE { ?ds dcat:theme ?t }""")
+
+
+# ---------------------------------------------------------------------------
+# expression-level EXISTS (round-3 VERDICT missing #2)
+# ---------------------------------------------------------------------------
+
+
+def test_expression_exists_in_bind(dataset):
+    df = sparql_df(dataset, PROLOGUE + """
+        SELECT ?ds ?cls WHERE {
+          ?ds a dcat:Dataset .
+          BIND(IF(EXISTS { ?ds dcat:theme <http://example.org/themes/Finance> },
+                  "finance", "other") AS ?cls)
+        } ORDER BY ?ds
+    """)
+    assert rows(df, "ds", "cls") == [
+        (_ds("DS1"), "finance"),
+        (_ds("DS2"), "other"),
+        (_ds("DS3"), "finance"),
+    ]
+
+
+def test_expression_exists_with_bound_conjunction(dataset):
+    """The exact batch_queries.rq:561 shape:
+    BIND(IF(BOUND(?x) && EXISTS { ... }, a, b) AS ?y)."""
+    df = sparql_df(dataset, PROLOGUE + """
+        SELECT ?ds ?flag WHERE {
+          ?ds a dcat:Dataset .
+          OPTIONAL {
+            ?ds dcat:theme ?th .
+            FILTER(?th = <http://example.org/themes/Marketing>)
+          }
+          BIND(IF(BOUND(?th) && EXISTS { ?ds dct:title ?t },
+                  "mk-titled", "no") AS ?flag)
+        } ORDER BY ?ds
+    """)
+    assert rows(df, "ds", "flag") == [
+        (_ds("DS1"), "no"),
+        (_ds("DS2"), "mk-titled"),
+        (_ds("DS3"), "no"),
+    ]
+
+
+def test_expression_not_exists_in_disjunction(dataset):
+    # NOT EXISTS as an OPERAND of || — must take the expression path,
+    # not the clause-level FILTER NOT EXISTS branch
+    df = sparql_df(dataset, PROLOGUE + """
+        SELECT ?s WHERE {
+          ?s dcat:theme ?th .
+          FILTER(?th = <http://example.org/themes/Ops>
+                 || NOT EXISTS { ?s a dcat:Dataset })
+        }
+    """)
+    assert rows(df.distinct(), "s") == [(_ds("DS4"),)]
+
+
+def test_expression_exists_inherits_graph_context(dataset):
+    # inside GRAPH g1 the EXISTS group is scoped to g1, so DS3's Risk
+    # theme (asserted only in g2) is invisible ...
+    scoped = sparql_df(dataset, PROLOGUE + """
+        SELECT ?ds ?m WHERE {
+          GRAPH <http://example.org/graph/g1> {
+            ?ds a dcat:Dataset .
+            BIND(IF(EXISTS { ?ds dcat:theme <http://example.org/themes/Risk> },
+                    "risk", "none") AS ?m)
+          }
+        } ORDER BY ?ds
+    """)
+    assert rows(scoped, "m") == [("none",), ("none",), ("none",)]
+    # ... while the unscoped variant matches across the whole dataset
+    unscoped = sparql_df(dataset, PROLOGUE + """
+        SELECT ?ds ?m WHERE {
+          ?ds a dcat:Dataset .
+          BIND(IF(EXISTS { ?ds dcat:theme <http://example.org/themes/Risk> },
+                  "risk", "none") AS ?m)
+        } ORDER BY ?ds
+    """)
+    assert rows(unscoped, "ds", "m") == [
+        (_ds("DS1"), "none"),
+        (_ds("DS2"), "none"),
+        (_ds("DS3"), "risk"),
+    ]
