@@ -26,6 +26,13 @@ Endpoints:
   ``{"boolean": b}``, ``construct`` → ``{"triples": [...], "count": n}``
   — the reference's three result forms (rdf-workbench.py:458-468).
   Errors → 400 with ``{"detail": m}``.
+* ``GET /sparql?query=`` — SPARQL Protocol GET form
+  (fastapi_sparql_server.py:212-215).
+* ``POST /sparql`` (and ``/query``) with ``Content-Type:
+  application/sparql-query`` — raw query text body — or
+  ``application/x-www-form-urlencoded`` with a ``query`` field
+  (fastapi_sparql_server.py:218-234); all request shapes return the
+  same result document as the JSON POST.
 * ``GET /health`` — liveness + table version.
 * ``GET /stats`` — ledger/table summary (reference /stats).
 
@@ -41,6 +48,7 @@ import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
+from urllib.parse import parse_qs, urlsplit
 
 from pyspark.sql import SparkSession
 
@@ -90,35 +98,68 @@ class QueryServer:
                 self.wfile.write(body)
 
             def do_GET(self) -> None:
+                parsed = urlsplit(self.path)
                 try:
-                    if self.path == "/health":
+                    if parsed.path == "/health":
                         self._send(200, outer.health())
-                    elif self.path == "/stats":
+                    elif parsed.path == "/stats":
                         self._send(200, outer.stats())
+                    elif parsed.path == "/sparql":
+                        # SPARQL Protocol GET form (reference
+                        # fastapi_sparql_server.py:212 `GET /sparql?query=`)
+                        qs = parse_qs(parsed.query)
+                        text = (qs.get("query") or [""])[0]
+                        if not text:
+                            self._send(400, {"detail": "No query provided"})
+                            return
+                        lim = qs.get("limit")
+                        try:
+                            doc = outer.sparql(
+                                text, limit=int(lim[0]) if lim else None
+                            )
+                        except Exception as e:  # reference: 400 + detail
+                            self._send(400, {"detail": f"Query error: {e}"})
+                            return
+                        self._send(200, doc)
                     else:
                         self._send(404, {"detail": f"unknown path {self.path}"})
                 except Exception as e:  # always answer with JSON, never
                     self._send(500, {"detail": repr(e)})  # a torn socket
 
             def do_POST(self) -> None:
-                if self.path != "/query":
+                if urlsplit(self.path).path not in ("/query", "/sparql"):
                     self._send(404, {"detail": f"unknown path {self.path}"})
                     return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
-                    req = json.loads(self.rfile.read(n) or b"{}")
-                    sparql_text = req.get("sparql") or req.get("query")
-                    if sparql_text:
-                        doc = outer.sparql(
-                            sparql_text,
-                            limit=int(req.get("limit", outer.max_limit)),
-                        )
+                    raw = self.rfile.read(n)
+                    ctype = self.headers.get("Content-Type", "")
+                    if "application/sparql-query" in ctype:
+                        # SPARQL Protocol direct-query body (reference
+                        # fastapi_sparql_server.py:221-227)
+                        doc = outer.sparql(raw.decode("utf-8"))
+                    elif "application/x-www-form-urlencoded" in ctype:
+                        # HTML-form fallback the reference accepts
+                        # (fastapi_sparql_server.py:233-234)
+                        form = parse_qs(raw.decode("utf-8"))
+                        text = (form.get("query") or [""])[0]
+                        if not text:
+                            raise ValueError("No query provided")
+                        doc = outer.sparql(text)
                     else:
-                        doc = outer.query(
-                            req.get("sql", ""),
-                            form=req.get("form", "select"),
-                            limit=int(req.get("limit", outer.max_limit)),
-                        )
+                        req = json.loads(raw or b"{}")
+                        sparql_text = req.get("sparql") or req.get("query")
+                        if sparql_text:
+                            doc = outer.sparql(
+                                sparql_text,
+                                limit=int(req.get("limit", outer.max_limit)),
+                            )
+                        else:
+                            doc = outer.query(
+                                req.get("sql", ""),
+                                form=req.get("form", "select"),
+                                limit=int(req.get("limit", outer.max_limit)),
+                            )
                     self._send(200, doc)
                 except Exception as e:  # reference: 400 + detail
                     self._send(400, {"detail": f"Query error: {e}"})
