@@ -97,6 +97,33 @@ class QueryServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _send_result(self, doc: dict) -> None:
+                """Send a query RESULT document honoring Accept: JSON
+                (default), application/sparql-results+xml, or text/csv
+                (W3C result formats; protocol parity beyond the
+                reference's JSON-only responses). Errors always JSON."""
+                accept = self.headers.get("Accept", "")
+                if "application/sparql-results+xml" in accept and (
+                    "results" in doc or "boolean" in doc
+                ):
+                    from .serving import sparql_json_to_xml
+
+                    body = sparql_json_to_xml(doc).encode()
+                    ctype = "application/sparql-results+xml"
+                elif "text/csv" in accept and ("results" in doc or "boolean" in doc):
+                    from .serving import sparql_json_to_csv
+
+                    body = sparql_json_to_csv(doc).encode()
+                    ctype = "text/csv; charset=utf-8"
+                else:
+                    self._send(200, doc)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self) -> None:
                 parsed = urlsplit(self.path)
                 try:
@@ -120,7 +147,7 @@ class QueryServer:
                         except Exception as e:  # reference: 400 + detail
                             self._send(400, {"detail": f"Query error: {e}"})
                             return
-                        self._send(200, doc)
+                        self._send_result(doc)
                     else:
                         self._send(404, {"detail": f"unknown path {self.path}"})
                 except Exception as e:  # always answer with JSON, never
@@ -160,7 +187,7 @@ class QueryServer:
                                 form=req.get("form", "select"),
                                 limit=int(req.get("limit", outer.max_limit)),
                             )
-                    self._send(200, doc)
+                    self._send_result(doc)
                 except Exception as e:  # reference: 400 + detail
                     self._send(400, {"detail": f"Query error: {e}"})
 

@@ -166,3 +166,91 @@ def to_construct_json(df: DataFrame, limit: int = 10_000) -> dict:
     rows = nquads_lines(df).limit(limit).collect()
     triples = [r["value"].removesuffix(" .") for r in rows]
     return {"triples": triples, "count": len(triples)}
+
+
+def sparql_json_to_xml(doc: dict) -> str:
+    """Render a SELECT/ASK result document in the W3C SPARQL Query Results
+    XML Format (https://www.w3.org/TR/rdf-sparql-XMLres/) — protocol
+    parity for clients sending ``Accept: application/sparql-results+xml``.
+    Pure presentation over the already-bounded JSON document; RDF-star
+    triple terms render as nested ``<triple>`` elements (SPARQL 1.2
+    results-XML draft shape)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    out = ['<?xml version="1.0"?>']
+    out.append('<sparql xmlns="http://www.w3.org/2005/sparql-results#">')
+    if "boolean" in doc:
+        out.append("<head/>")
+        out.append(f"<boolean>{'true' if doc['boolean'] else 'false'}</boolean>")
+        out.append("</sparql>")
+        return "\n".join(out)
+
+    out.append("<head>")
+    for v in doc.get("head", {}).get("vars", []):
+        out.append(f"<variable name={quoteattr(v)}/>")
+    out.append("</head>")
+    out.append("<results>")
+
+    def term_xml(t: dict) -> str:
+        ty = t.get("type")
+        if ty == "uri":
+            return f"<uri>{escape(t['value'])}</uri>"
+        if ty == "bnode":
+            return f"<bnode>{escape(t['value'])}</bnode>"
+        if ty == "triple":
+            q = t["value"]
+            return (
+                "<triple>"
+                f"<subject>{term_xml(q['subject'])}</subject>"
+                f"<predicate>{term_xml(q['predicate'])}</predicate>"
+                f"<object>{term_xml(q['object'])}</object>"
+                "</triple>"
+            )
+        attrs = ""
+        if t.get("xml:lang") or t.get("lang"):
+            attrs = f" xml:lang={quoteattr(t.get('xml:lang') or t['lang'])}"
+        elif t.get("datatype"):
+            attrs = f" datatype={quoteattr(t['datatype'])}"
+        return f"<literal{attrs}>{escape(str(t['value']))}</literal>"
+
+    for b in doc.get("results", {}).get("bindings", []):
+        out.append("<result>")
+        for name, t in b.items():
+            out.append(f"<binding name={quoteattr(name)}>{term_xml(t)}</binding>")
+        out.append("</result>")
+    out.append("</results>")
+    out.append("</sparql>")
+    return "\n".join(out)
+
+
+def sparql_json_to_csv(doc: dict) -> str:
+    """Render a SELECT/ASK result document in the SPARQL 1.1 CSV results
+    format (https://www.w3.org/TR/sparql11-results-csv-tsv/): header row =
+    variables, plain lexical values, RFC 4180 quoting; unbound variables
+    are empty fields. RDF-star triple terms render ``<<s p o>>``."""
+    import csv
+    import io
+
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\r\n")
+    if "boolean" in doc:
+        w.writerow(["boolean"])
+        w.writerow(["true" if doc["boolean"] else "false"])
+        return buf.getvalue()
+
+    def term_str(t: dict | None) -> str:
+        if t is None:
+            return ""
+        if t.get("type") == "triple":
+            q = t["value"]
+            return (
+                f"<<{term_str(q['subject'])} {term_str(q['predicate'])} "
+                f"{term_str(q['object'])}>>"
+            )
+        return str(t["value"])
+
+    vars_ = doc.get("head", {}).get("vars", [])
+    w.writerow(vars_)
+    for b in doc.get("results", {}).get("bindings", []):
+        w.writerow([term_str(b.get(v)) for v in vars_])
+    return buf.getvalue()

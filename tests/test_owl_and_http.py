@@ -326,3 +326,48 @@ def test_http_sparql_protocol_request_shapes(server):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_http_result_format_negotiation(server):
+    """Accept: application/sparql-results+xml and text/csv return the W3C
+    XML / CSV renderings of the same result; default stays JSON."""
+    q = ("SELECT ?s ?lang WHERE { ?s <http://example.org/lang> ?lang } "
+         "ORDER BY ?s LIMIT 1")
+    code, jdoc = _post(server, {"query": q})
+    assert code == 200
+    want_s = jdoc["results"]["bindings"][0]["s"]["value"]
+    base = f"http://127.0.0.1:{server.port}"
+
+    def fetch(accept):
+        req = urllib.request.Request(
+            base + "/sparql", data=q.encode(),
+            headers={"Content-Type": "application/sparql-query",
+                     "Accept": accept},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return resp.headers.get("Content-Type"), resp.read().decode()
+
+    ctype, xml = fetch("application/sparql-results+xml")
+    assert ctype == "application/sparql-results+xml"
+    assert xml.startswith('<?xml version="1.0"?>')
+    assert '<variable name="s"/>' in xml and f"<uri>{want_s}</uri>" in xml
+    # well-formedness, not just substrings
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml)
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    assert root.tag == f"{ns}sparql"
+    assert len(root.findall(f"{ns}results/{ns}result")) == 1
+
+    ctype, csv_text = fetch("text/csv")
+    assert ctype.startswith("text/csv")
+    lines = csv_text.strip().split("\r\n")
+    assert lines[0] == "s,lang"
+    assert lines[1].startswith(want_s)
+
+    # health/errors are unaffected by Accept
+    req = urllib.request.Request(
+        base + "/health", headers={"Accept": "text/csv"})
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers.get("Content-Type") == "application/json"
