@@ -73,7 +73,7 @@ def main() -> None:
     # shared host swing 16-21 s for IDENTICAL code (measured round 4 by
     # alternating r2/r3 trees — the r3 "regression" was entirely host
     # weather), so one sample can't support round-over-round comparison
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
     replay_trials = []
     for t in range(trials):
         wh = tempfile.mkdtemp(prefix="bench_lake_")
