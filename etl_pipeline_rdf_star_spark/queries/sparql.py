@@ -638,19 +638,62 @@ def dataset_from_engine(engine) -> SparqlDataset:
 
 
 def dataset_from_quads(df: DataFrame) -> SparqlDataset:
-    """Adapter for the Turtle reader's quad relation (sinks/turtle.py)."""
+    """Adapter for the Turtle reader's quad relation (sinks/turtle.py).
+
+    Both RDF-star annotation spellings land in the annotations relation:
+
+    * subject position — ``<< s p o >> ap ao`` (the repo's own TriG-star
+      export shape) maps row-for-row;
+    * object position — ``r rdf:reifies <<( s p o )>>`` plus companion
+      triples ``r ap ao`` (the reference engine's pyoxigraph export shape,
+      rdf_star_etl_yarrrml.py:496-503) desugars per RDF 1.2 reification:
+      each companion triple about the reifier becomes an annotation of the
+      quoted triple.
+
+    The structural ``rdf:reifies`` link and the reifier-subject companions
+    move out of the asserted relation (mirroring dataset_from_engine, where
+    annotations never appear as triples), so asserted rows never carry a
+    NULL object.
+    """
     cols = df.columns
     asserted = df
     anns = None
     if "subject_kind" in cols:
-        asserted = df.where(
-            F.coalesce(F.col("subject_kind"), F.lit("")) != "quoted"
+        okind = (
+            F.coalesce(F.col("object_kind"), F.lit(""))
+            if "object_kind" in cols
+            else F.lit("")
         )
+        not_quoted_subj = F.coalesce(F.col("subject_kind"), F.lit("")) != "quoted"
+        asserted = df.where(not_quoted_subj & (okind != "quoted"))
         if "q_s" in cols:
+            gcols = ["graph"] if "graph" in cols else []
             anns = df.where(F.col("subject_kind") == "quoted").select(
-                "q_s", "q_p", "q_o", "predicate", "object",
-                *(["graph"] if "graph" in cols else []),
+                "q_s", "q_p", "q_o", "predicate", "object", *gcols
             )
+            if "object_kind" in cols:
+                # rename to break same-lineage ambiguity: asserted and the
+                # reifier side both descend from df
+                reifiers = df.where(not_quoted_subj & (okind == "quoted")).select(
+                    F.col("subject").alias("_r"),
+                    F.col("q_s").alias("_r_qs"),
+                    F.col("q_p").alias("_r_qp"),
+                    F.col("q_o").alias("_r_qo"),
+                    *(F.col(g).alias(f"_r_{g}") for g in gcols),
+                )
+                cond = F.col("subject") == F.col("_r")
+                for g in gcols:
+                    cond = cond & F.col(g).eqNullSafe(F.col(f"_r_{g}"))
+                companion_anns = asserted.join(reifiers, cond, "inner").select(
+                    F.col("_r_qs").alias("q_s"),
+                    F.col("_r_qp").alias("q_p"),
+                    F.col("_r_qo").alias("q_o"),
+                    "predicate",
+                    "object",
+                    *gcols,
+                )
+                anns = anns.unionByName(companion_anns)
+                asserted = asserted.join(reifiers, cond, "left_anti")
     return SparqlDataset(triples=asserted, annotations=anns)
 
 
@@ -660,6 +703,22 @@ _COUNTER = [0]
 def _fresh(prefix: str) -> str:
     _COUNTER[0] += 1
     return f"_{prefix}{_COUNTER[0]}"
+
+
+def _compat_cond(shared: list[str], fuzzy: list[str]):
+    """SPARQL compatible-mapping join condition over frames aliased _l/_r:
+    on ``fuzzy`` (maybe-unbound) columns an unbound (null) value is
+    compatible with anything; always-bound columns use plain equality."""
+    cond = None
+    for c in shared:
+        lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+        t = (
+            (lc.isNull() | rc.isNull() | (lc == rc))
+            if c in fuzzy
+            else (lc == rc)
+        )
+        cond = t if cond is None else cond & t
+    return cond
 
 
 class _Planner:
@@ -779,16 +838,7 @@ class _Planner:
             out = left.join(right, on=shared, how=how)
         else:
             la, ra = left.alias("_l"), right.alias("_r")
-            cond = None
-            for c in shared:
-                lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
-                t = (
-                    (lc.isNull() | rc.isNull() | (lc == rc))
-                    if c in fuzzy
-                    else (lc == rc)
-                )
-                cond = t if cond is None else cond & t
-            j = la.join(ra, cond, how)
+            j = la.join(ra, _compat_cond(shared, fuzzy), how)
             cols = [
                 (
                     F.coalesce(F.col(f"_l.{c}"), F.col(f"_r.{c}")).alias(c)
@@ -889,17 +939,8 @@ class _Planner:
                     df = df.join(sub, on=shared, how=how)
                 else:
                     la, ra = df.alias("_l"), sub.alias("_r")
-                    cond = None
-                    for c in shared:
-                        lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
-                        t = (
-                            (lc.isNull() | rc.isNull() | (lc == rc))
-                            if c in fuzzy
-                            else (lc == rc)
-                        )
-                        cond = t if cond is None else cond & t
                     # semi/anti joins keep only left columns, names intact
-                    df = la.join(ra, cond, how)
+                    df = la.join(ra, _compat_cond(shared, fuzzy), how)
             else:
                 expr, df, marks = self._lower_exists(f, df, maybe)
                 df = df.where(self._expr_col(expr, df))
@@ -936,23 +977,37 @@ class _Planner:
                 mk = _fresh("ex")
                 cand = sub.select(*shared).distinct()
                 fuzzy = [c for c in shared if c in maybe or c in smaybe]
-                la, ra = df.alias("_l"), cand.alias("_r")
-                cond = None
-                for c in shared:
-                    lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
-                    t = (
-                        (lc.isNull() | rc.isNull() | (lc == rc))
-                        if c in fuzzy
-                        else (lc == rc)
+                if not fuzzy:
+                    # distinct keys ⇒ one left join preserves multiplicity
+                    # and evaluates the outer frame ONCE (the semi+anti
+                    # union below would scan it twice per EXISTS node)
+                    hit = _fresh("hit")
+                    df = (
+                        df.join(
+                            cand.withColumn(hit, F.lit(True)),
+                            on=shared,
+                            how="left",
+                        )
+                        .withColumn(
+                            mk,
+                            F.coalesce(F.col(hit), F.lit(False))
+                            != F.lit(bool(negated)),
+                        )
+                        .drop(hit)
                     )
-                    cond = t if cond is None else cond & t
-                pos = la.join(ra, cond, "left_semi").withColumn(
-                    mk, F.lit(not negated)
-                )
-                neg = la.join(ra, cond, "left_anti").withColumn(
-                    mk, F.lit(bool(negated))
-                )
-                df = pos.unionByName(neg)
+                else:
+                    # maybe-unbound vars need the non-equi compatibility
+                    # condition: one outer row may match many distinct
+                    # candidates, so only semi/anti keeps multiplicity
+                    la, ra = df.alias("_l"), cand.alias("_r")
+                    cond = _compat_cond(shared, fuzzy)
+                    pos = la.join(ra, cond, "left_semi").withColumn(
+                        mk, F.lit(not negated)
+                    )
+                    neg = la.join(ra, cond, "left_anti").withColumn(
+                        mk, F.lit(bool(negated))
+                    )
+                    df = pos.unionByName(neg)
                 markers.append(mk)
                 return Expr("term", [Term("var", mk)])
             if node.op == "call":

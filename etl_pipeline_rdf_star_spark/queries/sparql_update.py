@@ -251,10 +251,13 @@ def _exclusions(filters) -> tuple[set[str], set[str]]:
 def execute_sparql_update(engine, text: str, params: dict | None = None) -> dict:
     """Parse + apply a maintenance update request against the engine's
     batch ledger. Returns ``{"operations": n, "transitions": [...]}``
-    where each transition is ``{"batch_id", "from", "to"}``. Transitions
-    commit via deterministic ids (``sparqlupd-<to>-<batch>``) so replaying
-    the same request is idempotent — the lake's append discipline, not a
-    read-modify-write race."""
+    where each transition is ``{"batch_id", "from", "to"}``. Replaying
+    the same request is idempotent through the current-status guards
+    (an already-applied transition is skipped before any commit); commit
+    ids are deterministic per ledger head (``sparqlupd-<to>-<batch>-s<seq>``)
+    so a crash-retry of the same apply cannot double-append, while a
+    legitimate repeat of a past transition (after intervening status
+    changes) commits under a fresh id."""
     ops = parse_sparql_update(text, params)
     transitions: list[dict] = []
     for op in ops:
@@ -333,7 +336,9 @@ def _apply_one(engine, op: UpdateOp) -> list[dict]:
             )
         batch = _batch_id_of(subj)
         to = _ledger_status_of(st.o)
-        engine.set_batch_status(batch, to, f"sparqlupd-create-{batch}")
+        engine.set_batch_status(
+            batch, to, f"sparqlupd-create-{batch}-s{engine._next_status_seq()}"
+        )
         return [{"batch_id": batch, "from": None, "to": to}]
 
     # modify: a status transition
@@ -385,6 +390,12 @@ def _apply_one(engine, op: UpdateOp) -> list[dict]:
             ts = created.get(b)
             if ts is None or now - ts < days * 86400.0:
                 continue
-        engine.set_batch_status(b, to, f"sparqlupd-{to.lower()}-{b}")
+        # the seq suffix keys the commit to the ledger head: a crash-retry
+        # at the same head reuses the id (idempotent), while a later
+        # re-transition after intervening commits gets a fresh id instead
+        # of silently no-op'ing against a stale committed_batches entry
+        engine.set_batch_status(
+            b, to, f"sparqlupd-{to.lower()}-{b}-s{engine._next_status_seq()}"
+        )
         out.append({"batch_id": b, "from": cur, "to": to})
     return out

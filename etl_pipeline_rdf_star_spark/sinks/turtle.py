@@ -357,6 +357,13 @@ class _Parser:
             qs, qsk, _, _ = self._term(graph)
             qp = self._predicate()
             qo, qok, _, _ = self._term(graph)
+            if qsk == "quoted" or qok == "quoted":
+                # a nested tuple would leak into the string-typed q_* columns
+                # and fail executor-side at Arrow conversion — refuse here
+                raise TurtleParseError(
+                    "nested quoted triples are not supported (one level of "
+                    "annotation: q_s/q_p/q_o are scalar term columns)"
+                )
             if paren and self.lx.next() != (")", None):
                 raise TurtleParseError("expected ')' in '<<( ... )>>'")
             if self.lx.next() != (">>", None):

@@ -164,7 +164,17 @@ class LakeTable:
         # content is cached
         cached = self._snap_cache.get(v)
         if cached is not None:
-            return cached
+            # another instance on the same path may have expired this
+            # version: trust the cache only while the version file is still
+            # listed (the glob above — no manifest re-parse), so callers
+            # keep getting the pre-cache contract: a clean driver-side
+            # FileNotFoundError instead of executor-side missing-parquet
+            if version is None or v in vs:
+                return cached
+            self._snap_cache.pop(v, None)
+            raise FileNotFoundError(
+                f"snapshot v{v} of {self.path} has been expired"
+            )
         with open(self._log_path(v)) as f:
             snap = Snapshot.from_json(f.read())
         self._snap_cache[v] = snap

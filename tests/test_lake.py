@@ -238,3 +238,27 @@ def test_read_asof_prunes_post_cut_files(spark, tmp_path):
     }
     assert later and read.isdisjoint(later)
     assert _asof_got(tbl, 15) == {("a", 10, 2)}
+
+
+def test_snapshot_cache_sees_cross_instance_expiry(spark, tmp_path):
+    """A long-lived reader's snapshot cache must not outlive expiry run by
+    a DIFFERENT LakeTable instance on the same path: reading an expired
+    version raises a clean driver-side FileNotFoundError (which callers
+    treat as 'snapshot expired'), never a stale manifest pointing at
+    deleted parquet."""
+    path = str(tmp_path / "xexp")
+    reader = LakeTable(spark, path, key_cols=["k"], n_buckets=2)
+    for i in range(4):
+        reader.merge_mor(
+            _df(spark, [(f"k{i}", i + 1, i, False)], _ASOF_SCHEMA), f"b{i}"
+        )
+    assert reader.snapshot(0).version == 0  # warm the cache on v0
+
+    maint = LakeTable(spark, path, key_cols=["k"], n_buckets=2)
+    res = maint.expire_snapshots(keep_last=2)
+    assert res["expired_versions"] == 2
+
+    with pytest.raises(FileNotFoundError, match="expired"):
+        reader.snapshot(0)
+    # latest still serves fine from the surviving log
+    assert reader.snapshot().version == 3

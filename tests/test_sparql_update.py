@@ -190,3 +190,24 @@ def test_insert_data_requires_batch_registration(spark, tmp_path):
             INSERT DATA { GRAPH <http://example.org/g> {
                 ex:s ex:p "v" . } }""",
         )
+
+
+@pytest.mark.skipif(not os.path.exists(BATCH_RQ), reason="reference absent")
+def test_repeat_transition_after_restore_really_applies(eng):
+    # soft-delete b0, restore it via ARCHIVE (any other transition), then
+    # soft-delete again: the second delete must land in the ledger, not be
+    # swallowed by a stale committed-batch id from the first delete
+    delete = _chunk("DELETE_BATCH_SOFT")
+    params = {
+        "BATCH_URI": "<http://example.org/batch/b0>",
+        "TIMESTAMP": "2026-03-01T00:00:02Z",
+    }
+    assert execute_sparql_update(eng, delete, params=params)["transitions"] == [
+        {"batch_id": "b0", "from": "SUPERSEDED", "to": "DELETED"}
+    ]
+    eng.set_batch_status("b0", "SUPERSEDED", "test-restore-b0")
+    assert _statuses(eng)["b0"] == "SUPERSEDED"
+    assert execute_sparql_update(eng, delete, params=params)["transitions"] == [
+        {"batch_id": "b0", "from": "SUPERSEDED", "to": "DELETED"}
+    ]
+    assert _statuses(eng)["b0"] == "DELETED"

@@ -359,3 +359,54 @@ def test_base_fragment_and_query_resolution():
     assert by_s["http://ex.org/onto/rel"]["object"] == (
         "http://ex.org/onto/file.owl#Bar"
     )
+
+
+def test_kernel_rejects_nested_quoted_triples():
+    # one annotation level: a nested quoted term would put a tuple into the
+    # string-typed q_* columns and fail executor-side at Arrow conversion
+    for text in [
+        "@prefix ex: <http://e/> .\n"
+        "<< << ex:a ex:b ex:c >> ex:d ex:e >> ex:p ex:o .",
+        "@prefix ex: <http://e/> .\n"
+        "ex:r ex:p << << ex:a ex:b ex:c >> ex:d ex:e >> .",
+    ]:
+        with pytest.raises(TurtleParseError, match="nested quoted"):
+            parse_turtle_text(text)
+
+
+@pytest.mark.skipif(not os.path.exists(BATCH_TRIG), reason="reference not mounted")
+def test_reference_reifier_dump_is_queryable_as_annotations(spark, tmp_path):
+    """dataset_from_quads must desugar the reference's reifier-object form
+    (`_:r rdf:reifies <<( s p o )>>` + companion `_:r ap ao` triples) into
+    the annotations relation: asserted rows never carry NULL objects, and
+    quoted-pattern SPARQL over the loaded dump binds real values."""
+    import shutil
+
+    from etl_pipeline_rdf_star_spark.queries.sparql import (
+        dataset_from_quads,
+        parse_sparql,
+        sparql_df,
+    )
+
+    d = tmp_path / "trig"
+    d.mkdir()
+    shutil.copy(BATCH_TRIG, d)
+    ds = dataset_from_quads(read_turtle(spark, str(d)))
+    assert ds.triples.where("object IS NULL").count() == 0
+    assert ds.triples.count() == 48  # 80 quads - 8 reifies - 24 companions
+    assert ds.annotations.count() == 24  # 8 reifiers x 3 companion triples
+    rows = sparql_df(
+        ds,
+        parse_sparql(
+            "PREFIX schema: <http://schema.org/>\n"
+            "SELECT ?cust ?score ?src WHERE {\n"
+            "  << ?cust schema:creditScore ?score >>\n"
+            "    <http://www.w3.org/ns/prov#wasDerivedFrom> ?src . }"
+        ),
+    ).collect()
+    assert len(rows) == 8
+    by_cust = {r["cust"]: (r["score"], r["src"]) for r in rows}
+    assert by_cust["http://example.org/customer/C005"] == (
+        "710",
+        "http://example.org/source/Experian",
+    )
