@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_REIFIES = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
 
 _NUM_RE = re.compile(r"^[+-]?(\d+(\.\d+)?([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)$")
 
@@ -648,12 +649,16 @@ def dataset_from_quads(df: DataFrame) -> SparqlDataset:
       triples ``r ap ao`` (the reference engine's pyoxigraph export shape,
       rdf_star_etl_yarrrml.py:496-503) desugars per RDF 1.2 reification:
       each companion triple about the reifier becomes an annotation of the
-      quoted triple.
+      quoted triple. Only the ``rdf:reifies`` predicate desugars (review
+      finding: gating on object kind alone misfiled ordinary statements).
 
     The structural ``rdf:reifies`` link and the reifier-subject companions
     move out of the asserted relation (mirroring dataset_from_engine, where
     annotations never appear as triples), so asserted rows never carry a
-    NULL object.
+    NULL object. A quoted OBJECT under any other predicate (``ex:claims
+    << s p o >>``) stays asserted with the object rendered as its
+    serialized triple term ``<< s p o >>`` — visible to queries by string
+    equality rather than silently dropped.
     """
     cols = df.columns
     asserted = df
@@ -665,16 +670,41 @@ def dataset_from_quads(df: DataFrame) -> SparqlDataset:
             else F.lit("")
         )
         not_quoted_subj = F.coalesce(F.col("subject_kind"), F.lit("")) != "quoted"
-        asserted = df.where(not_quoted_subj & (okind != "quoted"))
+        has_quoted_cols = "object_kind" in cols and "q_s" in cols
+        is_reifies = (
+            (okind == "quoted") & (F.col("predicate") == _RDF_REIFIES)
+            if has_quoted_cols
+            else F.lit(False)
+        )
+        asserted = df.where(not_quoted_subj & ~is_reifies)
+        if has_quoted_cols:
+            # non-reifies quoted objects stay asserted with the object
+            # rendered as the serialized triple term (never silently lost)
+            asserted = asserted.withColumn(
+                "object",
+                F.when(
+                    okind == "quoted",
+                    F.concat_ws(
+                        " ",
+                        F.lit("<<"),
+                        F.col("q_s"),
+                        F.col("q_p"),
+                        F.col("q_o"),
+                        F.lit(">>"),
+                    ),
+                ).otherwise(F.col("object")),
+            )
         if "q_s" in cols:
             gcols = ["graph"] if "graph" in cols else []
             anns = df.where(F.col("subject_kind") == "quoted").select(
                 "q_s", "q_p", "q_o", "predicate", "object", *gcols
             )
-            if "object_kind" in cols:
+            # one bounded driver check per dataset build: plain Turtle
+            # loads (no reifier rows) skip the desugaring joins entirely
+            if has_quoted_cols and df.where(is_reifies).limit(1).count():
                 # rename to break same-lineage ambiguity: asserted and the
                 # reifier side both descend from df
-                reifiers = df.where(not_quoted_subj & (okind == "quoted")).select(
+                reifiers = df.where(not_quoted_subj & is_reifies).select(
                     F.col("subject").alias("_r"),
                     F.col("q_s").alias("_r_qs"),
                     F.col("q_p").alias("_r_qp"),

@@ -252,12 +252,12 @@ def execute_sparql_update(engine, text: str, params: dict | None = None) -> dict
     """Parse + apply a maintenance update request against the engine's
     batch ledger. Returns ``{"operations": n, "transitions": [...]}``
     where each transition is ``{"batch_id", "from", "to"}``. Replaying
-    the same request is idempotent through the current-status guards
-    (an already-applied transition is skipped before any commit); commit
-    ids are deterministic per ledger head (``sparqlupd-<to>-<batch>-s<seq>``)
-    so a crash-retry of the same apply cannot double-append, while a
-    legitimate repeat of a past transition (after intervening status
-    changes) commits under a fresh id."""
+    the same request is idempotent through the guards here (an
+    already-applied transition — or an already-registered batch, for
+    CREATE — is skipped before any commit); ``set_batch_status`` keys each
+    commit to the ledger head, so a crash-retry of one apply cannot
+    double-append while a legitimate repeat of a past transition (after
+    intervening status changes) still lands."""
     ops = parse_sparql_update(text, params)
     transitions: list[dict] = []
     for op in ops:
@@ -336,9 +336,12 @@ def _apply_one(engine, op: UpdateOp) -> list[dict]:
             )
         batch = _batch_id_of(subj)
         to = _ledger_status_of(st.o)
-        engine.set_batch_status(
-            batch, to, f"sparqlupd-create-{batch}-s{engine._next_status_seq()}"
-        )
+        # replay guard: re-creating an already-registered batch must not
+        # knock its lifecycle back to the initial status (review finding —
+        # CREATE_BATCH replayed after ACTIVATE_BATCH reset ACTIVE→PENDING)
+        if batch in _current_statuses(engine):
+            return []
+        engine.set_batch_status(batch, to, f"sparqlupd-create-{batch}")
         return [{"batch_id": batch, "from": None, "to": to}]
 
     # modify: a status transition
@@ -390,12 +393,6 @@ def _apply_one(engine, op: UpdateOp) -> list[dict]:
             ts = created.get(b)
             if ts is None or now - ts < days * 86400.0:
                 continue
-        # the seq suffix keys the commit to the ledger head: a crash-retry
-        # at the same head reuses the id (idempotent), while a later
-        # re-transition after intervening commits gets a fresh id instead
-        # of silently no-op'ing against a stale committed_batches entry
-        engine.set_batch_status(
-            b, to, f"sparqlupd-{to.lower()}-{b}-s{engine._next_status_seq()}"
-        )
+        engine.set_batch_status(b, to, f"sparqlupd-{to.lower()}-{b}")
         out.append({"batch_id": b, "from": cur, "to": to})
     return out

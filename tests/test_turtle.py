@@ -410,3 +410,39 @@ def test_reference_reifier_dump_is_queryable_as_annotations(spark, tmp_path):
         "710",
         "http://example.org/source/Experian",
     )
+
+
+def test_non_reifies_quoted_objects_stay_asserted(spark, tmp_path):
+    """Only rdf:reifies desugars to annotations; a quoted object under any
+    other predicate stays an asserted statement with the object rendered as
+    its serialized triple term (review finding: gating on object kind alone
+    misfiled ordinary statements and dropped unrelated triples about the
+    same subject)."""
+    from etl_pipeline_rdf_star_spark.queries.sparql import (
+        dataset_from_quads,
+        parse_sparql,
+        sparql_df,
+    )
+
+    src = tmp_path / "t"
+    src.mkdir()
+    (src / "claims.ttl").write_text(
+        "@prefix ex: <http://e/> .\n"
+        "ex:x ex:claims << ex:s ex:p ex:o >> .\n"
+        'ex:x ex:name "Xavier" .\n'
+    )
+    ds = dataset_from_quads(read_turtle(spark, str(src)))
+    assert ds.triples.where("object IS NULL").count() == 0
+    rows = {
+        (r["predicate"], r["object"])
+        for r in ds.triples.where("subject = 'http://e/x'").collect()
+    }
+    assert ("http://e/name", "Xavier") in rows
+    assert ("http://e/claims", "<< http://e/s http://e/p http://e/o >>") in rows
+    got = sparql_df(
+        ds,
+        parse_sparql(
+            "PREFIX ex: <http://e/> SELECT ?n WHERE { ex:x ex:name ?n }"
+        ),
+    ).collect()
+    assert [r["n"] for r in got] == ["Xavier"]
