@@ -40,7 +40,7 @@ SEP = "\x1f"  # chr(31) — unit separator used in reifier fingerprints
 
 # Bump when ingest/materialization logic changes: invalidates cached
 # serving warehouses built by older code.
-_WH_TAG = "r3b"
+_WH_TAG = "r4a"  # r4a: bucket formula = Spark partition-id hash (lake layout change)
 
 
 def serving_warehouse(spark: SparkSession, sf_dir: str) -> str:
@@ -782,8 +782,8 @@ def q_sparql_update_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse, then the ledger re-read — every SUPERSEDED batch must land
     ARCHIVED while the ACTIVE one is untouched. The copy keeps the shared
     serving cache immutable for the other corpus entries; the update
-    itself is idempotent (deterministic ledger commit ids), so re-runs on
-    a cached copy converge."""
+    itself is idempotent (current-status guards skip already-applied
+    transitions before any commit), so re-runs on a cached copy converge."""
     import re as _re
 
     from ..queries.sparql_update import execute_sparql_update

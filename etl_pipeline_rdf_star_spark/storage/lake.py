@@ -25,7 +25,7 @@ committed batch ids     snapshot summary props (exactly-once foreachBatch)
 
 Scale design (the part that must survive 100 TB / 10^10 events):
 
-* **Bucket-partitioned copy-on-write.** Rows land in ``pmod(xxhash64(key),
+* **Bucket-partitioned copy-on-write.** Rows land in ``pmod(hash(key),
   n_buckets)`` buckets; a MERGE rewrites only the buckets that contain
   touched keys — identical to Iceberg COW with bucket partitioning. A
   micro-batch touching k repos rewrites ≤ min(n_buckets, |keys|) buckets,
@@ -207,8 +207,15 @@ class LakeTable:
     # -- expressions -------------------------------------------------------
 
     def _bucket_col(self) -> F.Column:
+        """Bucket = ``pmod(murmur3_hash(key), n_buckets)`` — deliberately the
+        SAME formula Spark's HashPartitioning assigns partition ids with, so
+        a frame that arrives via ``repartition(n_buckets, *key_cols)`` has
+        partition id == bucket id. Writers that kept that alignment through
+        a keyed shuffle (the MoR ingest path) can skip the layout shuffle in
+        :meth:`_write_data` entirely — one shuffle per micro-batch instead
+        of two, which at 10^10-event scale halves ingest shuffle I/O."""
         assert self.key_cols, "bucketed ops need key_cols"
-        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), self.n_buckets)
+        return F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
 
     def _schema(self, snap: Snapshot) -> StructType:
         return StructType.fromJson(json.loads(snap.schema_json))
@@ -243,19 +250,25 @@ class LakeTable:
 
     # -- write -------------------------------------------------------------
 
-    def _write_data(self, df: DataFrame, version: int) -> list[dict[str, Any]]:
+    def _write_data(
+        self, df: DataFrame, version: int, pre_bucketed: bool = False
+    ) -> list[dict[str, Any]]:
         """Write rows (must carry ``_bucket``) under a per-commit dir,
-        one parquet dir per bucket, and return file metadata."""
+        one parquet dir per bucket, and return file metadata.
+
+        ``pre_bucketed``: the caller guarantees the frame is already
+        partitioned so each task holds one bucket (``repartition(n_buckets,
+        *key_cols)`` upstream — see :meth:`_bucket_col`); the layout shuffle
+        is skipped. Safe even if the guarantee is violated: ``partitionBy``
+        splits by VALUE, so files land in the right bucket dirs regardless —
+        a lie costs extra small files, never correctness."""
         out = os.path.join(self.path, _DATA_DIR, f"c{version:08d}")
         # _bucket stays a data column (read-time pruning is metadata-driven);
         # duplicate it as the physical partition dir for layout only.
-        (
-            df.withColumn("_bp", F.col("_bucket"))
-            .repartition(F.col("_bucket"))
-            .write.partitionBy("_bp")
-            .mode("overwrite")
-            .parquet(out)
-        )
+        staged = df.withColumn("_bp", F.col("_bucket"))
+        if not pre_bucketed:
+            staged = staged.repartition(F.col("_bucket"))
+        staged.write.partitionBy("_bp").mode("overwrite").parquet(out)
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
@@ -516,6 +529,7 @@ class LakeTable:
         batch_id: str,
         order_col: str = "seq",
         deleted_col: str = "_deleted",
+        pre_bucketed: bool = False,
     ) -> MergeStats:
         """Merge-on-read MERGE: the Iceberg-MoR / Hudi-MOR strategy for
         sustained CDC ingest. The batch is APPENDED as bucket-tagged delta
@@ -543,7 +557,7 @@ class LakeTable:
             return self.create(src, batch_id)
         snap = self.snapshot()
         version = snap.version + 1
-        files = self._write_data(src, version)
+        files = self._write_data(src, version, pre_bucketed=pre_bucketed)
         out_snap = Snapshot(
             version=version,
             operation="merge_mor",

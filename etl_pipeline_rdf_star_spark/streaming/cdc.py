@@ -31,7 +31,7 @@ Design decisions (scale rationale):
 * **Skew.** The dedup window shuffles on (repo, path) — the hot ``repo_0``
   (~21% of files) spreads across partitions because path is in the key.
   AQE skew-join handling is on in the session for the residual cases. The
-  sink buckets on xxhash64(repo, path) for the same reason (see lake.py).
+  sink buckets on hash(repo, path) for the same reason (see lake.py).
 * **Exactly-once.** Lake commits are idempotent per batch_id; the ledger
   append reuses the same batch_id; a replayed/retried foreachBatch is a
   no-op end to end.
@@ -467,13 +467,22 @@ class CdcEngine:
         missing = [c for c in EVENT_COLS if c not in events.columns]
         if missing:
             raise ValueError(f"event batch missing columns: {missing}")
-        # extra source cols pass through the dedup untouched
-        latest = self.dedup_latest(events) if self.dedup_in_batch else events
-
         if self.mode == "mor":
-            # SINGLE-JOB fast path: no persist, no stats job — ledger
-            # counts ride the write action via Observation, per-bucket
-            # lineage comes from parquet footers the write produced
+            # SINGLE-SHUFFLE fast path. The explicit repartition hashes the
+            # full key over exactly n_buckets partitions; the dedup window's
+            # ClusteredDistribution(repo, path) is satisfied by it (no second
+            # exchange), and because the bucket formula IS Spark's partition
+            # id formula (lake._bucket_col), every task ends up holding
+            # exactly one bucket — so the write skips its layout shuffle
+            # (pre_bucketed). One shuffle of the batch per commit, total;
+            # the two-shuffle shape (key window + repartition-by-bucket)
+            # doubled ingest shuffle I/O, the memory-bandwidth term that
+            # caps multi-executor scaling.
+            events = events.repartition(self.table.n_buckets, *KEY)
+            latest = self.dedup_latest(events) if self.dedup_in_batch else events
+            # SINGLE-JOB: no persist, no stats job — ledger counts ride the
+            # write action via Observation, per-bucket lineage comes from
+            # parquet footers the write produced
             from pyspark.sql import Observation
 
             obs = Observation(f"batch-{batch_id}")
@@ -482,7 +491,9 @@ class CdcEngine:
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("d"),
             )
-            stats = self.table.merge_mor(wide.drop("op"), batch_id)
+            stats = self.table.merge_mor(
+                wide.drop("op"), batch_id, pre_bucketed=True
+            )
             if stats.skipped:
                 # Re-delivered batch. If the ledger row is already committed
                 # the append below is a no-op and zeros are fine; if the
@@ -520,6 +531,8 @@ class CdcEngine:
                 self.table.compact()
             return result
 
+        # extra source cols pass through the dedup untouched
+        latest = self.dedup_latest(events) if self.dedup_in_batch else events
         # cache the materialized batch: it feeds the count, the MERGE (bucket
         # discovery + survivors + write) and the metrics rollup — without the
         # cache each of those jobs re-scans + re-windows the source events
@@ -527,7 +540,7 @@ class CdcEngine:
         # one stats job serves both the ledger counts and the per-bucket
         # lineage metrics (O(n_buckets) rows)
         per_bucket = (
-            wide.withColumn("bucket", F.pmod(F.xxhash64(*KEY), self.table.n_buckets))
+            wide.withColumn("bucket", self.table._bucket_col())
             .groupBy("bucket")
             .agg(
                 F.count("*").alias("rows"),
@@ -730,16 +743,23 @@ class CdcEngine:
         )
 
     def set_batch_status(self, batch_id: str, status: str, commit_id: str) -> None:
+        """Append a status transition. ``commit_id`` is the caller's intent
+        tag; the ledger-head seq is appended to it so a REPEAT of the same
+        transition after intervening commits really lands (a bare
+        deterministic tag would be silently deduped by append_rows against
+        the earlier commit — review finding), while a crash-retry at the
+        same ledger head reuses the id and stays exactly-once."""
+        sseq = self._next_status_seq()
         self.batches.append_rows(
             [
                 {
                     "batch_id": batch_id,
                     "status": status,
-                    "status_seq": self._next_status_seq(),
+                    "status_seq": sseq,
                 }
             ],
             self._ledger_schema(),
-            commit_id,
+            f"{commit_id}-s{sseq}",
         )
 
     def archive_batch(self, batch_id: str) -> None:
