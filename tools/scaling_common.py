@@ -38,8 +38,13 @@ def write_method(name: str, section: dict) -> dict:
 
     # weak-scaling (Gustafson) sections are SUPPORTING evidence only — the
     # criterion is strong scaling on identical input, so they never set
-    # the headline
-    strong = [k for k in methods if "weak" not in k] or list(methods)
+    # the headline; sections marked "superseded" were measured on an engine
+    # shape that no longer exists (kept as history, never the headline)
+    strong = [
+        k
+        for k in methods
+        if "weak" not in k and not methods[k].get("superseded")
+    ] or list(methods)
     best_name = max(strong, key=lambda k: eff(methods[k]))
     best = methods[best_name]
     ceilings = [
