@@ -40,7 +40,7 @@ SEP = "\x1f"  # chr(31) — unit separator used in reifier fingerprints
 
 # Bump when ingest/materialization logic changes: invalidates cached
 # serving warehouses built by older code.
-_WH_TAG = "r4a"  # r4a: bucket formula = Spark partition-id hash (lake layout change)
+_WH_TAG = "r4b"  # r4b: murmur bucket formula + layout sidecar (_layout.json)
 
 
 def serving_warehouse(spark: SparkSession, sf_dir: str) -> str:

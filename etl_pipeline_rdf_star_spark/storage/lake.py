@@ -145,6 +145,53 @@ class LakeTable:
     def _log_path(self, version: int) -> str:
         return os.path.join(self.path, _LOG_DIR, f"v{version:08d}.json")
 
+    _BUCKET_HASH = "murmur3-pmod"  # r4: == Spark HashPartitioning id formula
+
+    def _layout_path(self) -> str:
+        return os.path.join(self.path, _LOG_DIR, "_layout.json")
+
+    def _write_layout(self) -> None:
+        """Record the physical layout contract at table creation (survives
+        snapshot expiry, unlike v0's summary). Bucket pruning is only sound
+        when reader and writer agree on the hash; r4 changed it from
+        xxhash64 to murmur3, so a guard — not silence — is the contract."""
+        if not self.key_cols or os.path.exists(self._layout_path()):
+            return
+        tmp = self._layout_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"bucket_hash": self._BUCKET_HASH, "n_buckets": self.n_buckets}, f
+            )
+        os.replace(tmp, self._layout_path())
+
+    def _check_layout(self) -> None:
+        """Refuse to mix bucket layouts: an existing keyed table must carry
+        a layout sidecar matching this writer's hash + bucket count —
+        otherwise bucket-pruned MERGE would miss keys' old rows and leave
+        duplicate live rows (silent corruption). Raising forces an explicit
+        rebuild/compact-rewrite instead."""
+        if not self.key_cols or not self.exists():
+            return
+        try:
+            with open(self._layout_path()) as f:
+                lay = json.load(f)
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"lake table {self.path} predates the r4 bucket layout "
+                f"({self._BUCKET_HASH}); its files were bucketed with "
+                "xxhash64 and cannot be merged into safely — rebuild the "
+                "table (re-ingest or export/import) with the current code"
+            ) from None
+        if lay.get("bucket_hash") != self._BUCKET_HASH or int(
+            lay.get("n_buckets", -1)
+        ) != int(self.n_buckets):
+            raise RuntimeError(
+                f"lake table {self.path} layout {lay} does not match this "
+                f"writer (bucket_hash={self._BUCKET_HASH}, "
+                f"n_buckets={self.n_buckets}); opening a bucketed table "
+                "with a different hash or bucket count breaks pruning"
+            )
+
     def versions(self) -> list[int]:
         return sorted(
             int(os.path.basename(p)[1:-5])
@@ -316,9 +363,12 @@ class LakeTable:
             return df.withColumn("_bucket", F.lit(0))
         return df.withColumn("_bucket", self._bucket_col())
 
-    def create(self, df: DataFrame, batch_id: str = "genesis") -> MergeStats:
+    def create(
+        self, df: DataFrame, batch_id: str = "genesis", pre_bucketed: bool = False
+    ) -> MergeStats:
         df = self._with_bucket(df)
-        files = self._write_data(df, 0)
+        self._write_layout()
+        files = self._write_data(df, 0, pre_bucketed=pre_bucketed)
         snap = Snapshot(
             version=0,
             operation="create",
@@ -356,6 +406,7 @@ class LakeTable:
             if op_col:
                 src = src.where(F.col(op_col) != "D").drop(op_col)
             return self.create(src, batch_id)
+        self._check_layout()
         snap = self.snapshot()
         if batch_id in snap.committed_batches:
             return MergeStats(batch_id=batch_id, skipped=True, version=snap.version)
@@ -554,7 +605,8 @@ class LakeTable:
             return MergeStats(batch_id=batch_id, skipped=True, version=snap.version)
         src = self._with_bucket(src)
         if not self.exists():
-            return self.create(src, batch_id)
+            return self.create(src, batch_id, pre_bucketed=pre_bucketed)
+        self._check_layout()
         snap = self.snapshot()
         version = snap.version + 1
         files = self._write_data(src, version, pre_bucketed=pre_bucketed)
@@ -907,6 +959,7 @@ class LakeTable:
         """Fold MoR deltas: rewrite the table as one resolved version per
         key (optionally dropping tombstones once the watermark allows).
         Equivalent to Iceberg's rewrite_data_files maintenance action."""
+        self._check_layout()
         snap = self.snapshot()
         drop_stats: dict[str, Any] = {}
         persisted = None

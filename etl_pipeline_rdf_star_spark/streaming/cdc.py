@@ -241,13 +241,16 @@ class CdcEngine:
         if mode not in {"cow", "mor"}:
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.mode = mode
-        # Intra-batch latest-per-key dedup costs a full (repo, path) shuffle
-        # per micro-batch. COW needs it (MERGE expects ≤1 row per key). MoR
-        # does NOT: every version is appended and read-time resolution picks
-        # max(seq), so the default there is to skip the window — the batch
-        # then runs as ONE shuffle (bucket repartition for the write layout)
-        # instead of two. That halves per-batch shuffle volume at 10^10
-        # events; the extra delta rows are folded by compaction.
+        # Intra-batch latest-per-key dedup: COW needs it (MERGE expects ≤1
+        # row per key). MoR does NOT — every version is appended and
+        # read-time resolution picks max(seq) — so the default there skips
+        # the window. Since r4 the MoR batch runs as ONE shuffle either way
+        # (the keyed repartition that feeds the write layout also satisfies
+        # the window's distribution), so enabling dedup_in_batch on MoR now
+        # costs only a partition-local sort and shrinks delta files; the
+        # default stays off because ledger counts (events per batch) are
+        # defined over the raw appended rows and the oracle corpus pins
+        # that semantic.
         self.dedup_in_batch = (mode == "cow") if dedup_in_batch is None else bool(
             dedup_in_batch
         )
@@ -469,16 +472,24 @@ class CdcEngine:
             raise ValueError(f"event batch missing columns: {missing}")
         if self.mode == "mor":
             # SINGLE-SHUFFLE fast path. The explicit repartition hashes the
-            # full key over exactly n_buckets partitions; the dedup window's
+            # full key over k·n_buckets partitions; the dedup window's
             # ClusteredDistribution(repo, path) is satisfied by it (no second
             # exchange), and because the bucket formula IS Spark's partition
-            # id formula (lake._bucket_col), every task ends up holding
-            # exactly one bucket — so the write skips its layout shuffle
-            # (pre_bucketed). One shuffle of the batch per commit, total;
-            # the two-shuffle shape (key window + repartition-by-bucket)
-            # doubled ingest shuffle I/O, the memory-bandwidth term that
-            # caps multi-executor scaling.
-            events = events.repartition(self.table.n_buckets, *KEY)
+            # id formula (lake._bucket_col) and (h mod kB) mod B == h mod B,
+            # every task still holds exactly ONE bucket (k tasks per bucket)
+            # — so the write skips its layout shuffle (pre_bucketed). One
+            # shuffle of the batch per commit, total; the two-shuffle shape
+            # (key window + repartition-by-bucket) doubled ingest shuffle
+            # I/O, the memory-bandwidth term that caps multi-executor
+            # scaling. k scales the stage to the session's parallelism so a
+            # low bucket count never caps the CPU-heavy materialization
+            # (sha256 over content) below the available cores.
+            import math
+
+            nb = self.table.n_buckets
+            par = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            k = max(1, math.ceil(par / nb))
+            events = events.repartition(k * nb, *KEY)
             latest = self.dedup_latest(events) if self.dedup_in_batch else events
             # SINGLE-JOB: no persist, no stats job — ledger counts ride the
             # write action via Observation, per-bucket lineage comes from
@@ -742,13 +753,28 @@ class CdcEngine:
             "_cur_status", "status"
         )
 
+    def _current_status(self, batch_id: str) -> str | None:
+        """Latest ledger status for one batch (None if unregistered)."""
+        if not self.batches.exists():
+            return None
+        ledger = self.batches.read().where(F.col("batch_id") == batch_id)
+        if "status_seq" in ledger.columns:
+            ledger = ledger.orderBy(F.col("status_seq").desc())
+        rows = ledger.select("status").limit(1).collect()
+        return rows[0]["status"] if rows else None
+
     def set_batch_status(self, batch_id: str, status: str, commit_id: str) -> None:
         """Append a status transition. ``commit_id`` is the caller's intent
         tag; the ledger-head seq is appended to it so a REPEAT of the same
         transition after intervening commits really lands (a bare
         deterministic tag would be silently deduped by append_rows against
-        the earlier commit — review finding), while a crash-retry at the
-        same ledger head reuses the id and stays exactly-once."""
+        the earlier commit — review finding). Exactly-once for retries is
+        SEMANTIC: a transition whose target equals the batch's current
+        status is skipped before any commit — so a crash-retry after the
+        append landed (at any ledger head) appends nothing, and no
+        duplicate transition rows accumulate."""
+        if self._current_status(batch_id) == status:
+            return
         sseq = self._next_status_seq()
         self.batches.append_rows(
             [

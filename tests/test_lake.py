@@ -262,3 +262,51 @@ def test_snapshot_cache_sees_cross_instance_expiry(spark, tmp_path):
         reader.snapshot(0)
     # latest still serves fine from the surviving log
     assert reader.snapshot().version == 3
+
+
+def test_layout_guard_rejects_pre_r4_tables(spark, tmp_path):
+    """Bucket pruning is only sound when reader and writer agree on the
+    bucket hash + count. A keyed table without the layout sidecar (pre-r4,
+    xxhash64 buckets) or with a different bucket count must be REFUSED for
+    merge/compact — silently mixing layouts leaves duplicate live rows."""
+    import os
+
+    path = str(tmp_path / "lay")
+    tbl = LakeTable(spark, path, key_cols=["k"], n_buckets=2)
+    tbl.merge_mor(_df(spark, [("a", 1, 1, False)], _ASOF_SCHEMA), "b0")
+    # simulate a pre-r4 table: drop the sidecar
+    os.unlink(tbl._layout_path())
+    fresh = LakeTable(spark, path, key_cols=["k"], n_buckets=2)
+    with pytest.raises(RuntimeError, match="predates the r4 bucket layout"):
+        fresh.merge_mor(_df(spark, [("a", 2, 2, False)], _ASOF_SCHEMA), "b1")
+    # and a mismatched bucket count is refused even with the sidecar back
+    tbl._write_layout()
+    wrong = LakeTable(spark, path, key_cols=["k"], n_buckets=8)
+    with pytest.raises(RuntimeError, match="does not match this writer"):
+        wrong.compact()
+
+
+def test_write_skips_layout_shuffle_with_low_bucket_count(spark, tmp_path):
+    """n_buckets below the session parallelism must not cap the ingest
+    stage: the keyed repartition scales to k*n_buckets partitions and
+    (h mod kB) mod B == h mod B keeps every task single-bucket, so the
+    write still skips its layout shuffle (<= k files per bucket)."""
+    from etl_pipeline_rdf_star_spark.streaming.cdc import CdcEngine
+    from etl_pipeline_rdf_star_spark.data import synth
+
+    ev = synth.cdc_events(spark, "/root/testdata/sf0.001")
+    eng = CdcEngine(spark, str(tmp_path / "kwh"), n_buckets=2, mode="mor")
+    eng.apply_batch(ev, "kb0")
+    snap = eng.table.snapshot()
+    from collections import Counter
+
+    per_bucket = Counter(f["bucket"] for f in snap.files)
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    k = max(1, -(-par // 2))
+    assert set(per_bucket) <= {0, 1}
+    assert all(v <= k for v in per_bucket.values()), per_bucket
+    # every file's dir bucket == manifest bucket (alignment held)
+    assert all(
+        f["bucket"] == int(f["path"].split("_bp=")[1].split("/")[0])
+        for f in snap.files
+    )

@@ -245,3 +245,12 @@ def test_archive_after_restore_really_archives(eng):
     eng.set_batch_status("b0", "SUPERSEDED", "test-restore-b0")
     eng.archive_batch("b0")
     assert _statuses(eng)["b0"] == "ARCHIVED"
+
+
+def test_set_batch_status_retry_appends_nothing(eng):
+    # crash-retry contract: re-issuing the SAME transition (target ==
+    # current status) is a semantic no-op — no duplicate ledger rows
+    eng.set_batch_status("b0", "ARCHIVED", "retry-test")
+    n1 = eng.batches.read().count()
+    eng.set_batch_status("b0", "ARCHIVED", "retry-test")
+    assert eng.batches.read().count() == n1
