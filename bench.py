@@ -99,21 +99,31 @@ def main() -> None:
         spark, sf_dir, n_files=n_files_mor, n_events=n_events_mor
     ).repartition(2 * max(cpus, 16)).cache()
     n_ev_mor = events_mor.count()
-    wh2 = tempfile.mkdtemp(prefix="bench_mor_")
-    try:
-        eng2 = CdcEngine(spark, wh2, n_buckets=max(cpus, 16), mode="mor")
-        t0 = time.perf_counter()
-        eng2.replay(
-            events_mor, num_batches=4, id_prefix="bench", seq_hi=n_events_mor - 1
-        )
-        mor_s = time.perf_counter() - t0
-        timings["cdc_replay_mor"] = round(mor_s, 3)
-        t0 = time.perf_counter()
-        eng2.compact()
-        timings["mor_compact"] = round(time.perf_counter() - t0, 3)
-        mor_events_per_sec = n_ev_mor / mor_s
-    finally:
-        shutil.rmtree(wh2, ignore_errors=True)
+    # min-of-trials for MoR too: the sustained-ingest headline should not
+    # be decided by one bad host window (COW above already takes the min)
+    mor_trials = int(os.environ.get("BENCH_MOR_TRIALS", "2"))
+    mor_times, compact_times = [], []
+    for t in range(mor_trials):
+        wh2 = tempfile.mkdtemp(prefix="bench_mor_")
+        try:
+            eng2 = CdcEngine(spark, wh2, n_buckets=max(cpus, 16), mode="mor")
+            t0 = time.perf_counter()
+            eng2.replay(
+                events_mor,
+                num_batches=4,
+                id_prefix=f"bench{t}",
+                seq_hi=n_events_mor - 1,
+            )
+            mor_times.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            eng2.compact()
+            compact_times.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(wh2, ignore_errors=True)
+    mor_s = min(mor_times)
+    timings["cdc_replay_mor"] = round(mor_s, 3)
+    timings["mor_compact"] = round(min(compact_times), 3)
+    mor_events_per_sec = n_ev_mor / mor_s
     events_mor.unpersist()
 
     # -- corpus queries ----------------------------------------------------
@@ -163,6 +173,7 @@ def main() -> None:
                 "n_events_mor": n_ev_mor,
                 "cpus": cpus,
                 "cdc_replay_trials": [round(x, 3) for x in replay_trials],
+                "cdc_replay_mor_trials": [round(x, 3) for x in mor_times],
                 "ann": ann,
             }
         )
