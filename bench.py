@@ -73,7 +73,7 @@ def main() -> None:
     # shared host swing 16-21 s for IDENTICAL code (measured round 4 by
     # alternating r2/r3 trees — the r3 "regression" was entirely host
     # weather), so one sample can't support round-over-round comparison
-    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    trials = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
     replay_trials = []
     for t in range(trials):
         wh = tempfile.mkdtemp(prefix="bench_lake_")
@@ -101,7 +101,7 @@ def main() -> None:
     n_ev_mor = events_mor.count()
     # min-of-trials for MoR too: the sustained-ingest headline should not
     # be decided by one bad host window (COW above already takes the min)
-    mor_trials = int(os.environ.get("BENCH_MOR_TRIALS", "2"))
+    mor_trials = max(1, int(os.environ.get("BENCH_MOR_TRIALS", "2")))
     mor_times, compact_times = [], []
     for t in range(mor_trials):
         wh2 = tempfile.mkdtemp(prefix="bench_mor_")

@@ -393,6 +393,8 @@ def _apply_one(engine, op: UpdateOp) -> list[dict]:
             ts = created.get(b)
             if ts is None or now - ts < days * 86400.0:
                 continue
-        engine.set_batch_status(b, to, f"sparqlupd-{to.lower()}-{b}")
+        engine.set_batch_status(
+            b, to, f"sparqlupd-{to.lower()}-{b}", current=cur
+        )
         out.append({"batch_id": b, "from": cur, "to": to})
     return out

@@ -150,12 +150,20 @@ class LakeTable:
     def _layout_path(self) -> str:
         return os.path.join(self.path, _LOG_DIR, "_layout.json")
 
-    def _write_layout(self) -> None:
+    def _write_layout(self, overwrite: bool = False) -> None:
         """Record the physical layout contract at table creation (survives
         snapshot expiry, unlike v0's summary). Bucket pruning is only sound
         when reader and writer agree on the hash; r4 changed it from
-        xxhash64 to murmur3, so a guard — not silence — is the contract."""
-        if not self.key_cols or os.path.exists(self._layout_path()):
+        xxhash64 to murmur3, so a guard — not silence — is the contract.
+
+        ``overwrite``: used by create() — before v0 commits the table holds
+        no data, so a sidecar left behind by a CRASHED earlier create (with
+        a possibly different bucket count) must not outlive it; the current
+        creating writer is authoritative. Single-writer contract as per the
+        class docstring."""
+        if not self.key_cols:
+            return
+        if not overwrite and os.path.exists(self._layout_path()):
             return
         tmp = self._layout_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -177,10 +185,12 @@ class LakeTable:
                 lay = json.load(f)
         except FileNotFoundError:
             raise RuntimeError(
-                f"lake table {self.path} predates the r4 bucket layout "
-                f"({self._BUCKET_HASH}); its files were bucketed with "
-                "xxhash64 and cannot be merged into safely — rebuild the "
-                "table (re-ingest or export/import) with the current code"
+                f"lake table {self.path} has no layout sidecar, so its "
+                f"bucket hash is UNKNOWN (pre-r4 tables used xxhash64; "
+                f"this writer uses {self._BUCKET_HASH}); merging with a "
+                "mismatched hash silently leaves duplicate live rows — "
+                "rebuild the table (re-ingest or export/import) with the "
+                "current code"
             ) from None
         if lay.get("bucket_hash") != self._BUCKET_HASH or int(
             lay.get("n_buckets", -1)
@@ -367,7 +377,7 @@ class LakeTable:
         self, df: DataFrame, batch_id: str = "genesis", pre_bucketed: bool = False
     ) -> MergeStats:
         df = self._with_bucket(df)
-        self._write_layout()
+        self._write_layout(overwrite=True)
         files = self._write_data(df, 0, pre_bucketed=pre_bucketed)
         snap = Snapshot(
             version=0,
@@ -1077,6 +1087,7 @@ class LakeTable:
         """Append-only commit (ledgers/metrics). Idempotent per batch_id."""
         if not self.exists():
             return self.create(df, batch_id)
+        self._check_layout()
         snap = self.snapshot()
         if batch_id in snap.committed_batches:
             return MergeStats(batch_id=batch_id, skipped=True, version=snap.version)

@@ -533,11 +533,15 @@ class CdcEngine:
             result = self._commit_metadata(
                 batch_id, stats, n_latest, n_del, per_bucket
             )
+            # threshold semantics: retained delta COMMITS per bucket. The
+            # k-scaled write emits up to k files per bucket per commit, so
+            # the file-count trigger must scale by k or compaction (an
+            # O(table) rewrite) fires ~k× too often (review finding)
             if (
                 self.auto_compact_deltas is not None
                 and not stats.skipped
                 and len(self.table.snapshot().files)
-                > self.auto_compact_deltas * self.table.n_buckets
+                > self.auto_compact_deltas * self.table.n_buckets * k
             ):
                 self.table.compact()
             return result
@@ -754,16 +758,31 @@ class CdcEngine:
         )
 
     def _current_status(self, batch_id: str) -> str | None:
-        """Latest ledger status for one batch (None if unregistered)."""
+        """Latest ledger status for one batch (None if unregistered or the
+        ledger predates status_seq — without the ordering column "latest"
+        is undefined, and returning an arbitrary row could make the
+        semantic skip in set_batch_status suppress a real transition)."""
         if not self.batches.exists():
             return None
-        ledger = self.batches.read().where(F.col("batch_id") == batch_id)
-        if "status_seq" in ledger.columns:
-            ledger = ledger.orderBy(F.col("status_seq").desc())
-        rows = ledger.select("status").limit(1).collect()
+        ledger = self.batches.read()
+        if "status_seq" not in ledger.columns:
+            return None
+        rows = (
+            ledger.where(F.col("batch_id") == batch_id)
+            .orderBy(F.col("status_seq").desc())
+            .select("status")
+            .limit(1)
+            .collect()
+        )
         return rows[0]["status"] if rows else None
 
-    def set_batch_status(self, batch_id: str, status: str, commit_id: str) -> None:
+    def set_batch_status(
+        self,
+        batch_id: str,
+        status: str,
+        commit_id: str,
+        current: str | None = None,
+    ) -> None:
         """Append a status transition. ``commit_id`` is the caller's intent
         tag; the ledger-head seq is appended to it so a REPEAT of the same
         transition after intervening commits really lands (a bare
@@ -772,8 +791,12 @@ class CdcEngine:
         SEMANTIC: a transition whose target equals the batch's current
         status is skipped before any commit — so a crash-retry after the
         append landed (at any ledger head) appends nothing, and no
-        duplicate transition rows accumulate."""
-        if self._current_status(batch_id) == status:
+        duplicate transition rows accumulate. ``current``: callers that
+        already read the batch's latest status (e.g. sparql_update, which
+        scans the ledger once per request) pass it to skip the per-call
+        lookup job."""
+        cur = current if current is not None else self._current_status(batch_id)
+        if cur == status:
             return
         sseq = self._next_status_seq()
         self.batches.append_rows(

@@ -277,7 +277,7 @@ def test_layout_guard_rejects_pre_r4_tables(spark, tmp_path):
     # simulate a pre-r4 table: drop the sidecar
     os.unlink(tbl._layout_path())
     fresh = LakeTable(spark, path, key_cols=["k"], n_buckets=2)
-    with pytest.raises(RuntimeError, match="predates the r4 bucket layout"):
+    with pytest.raises(RuntimeError, match="no layout sidecar"):
         fresh.merge_mor(_df(spark, [("a", 2, 2, False)], _ASOF_SCHEMA), "b1")
     # and a mismatched bucket count is refused even with the sidecar back
     tbl._write_layout()
