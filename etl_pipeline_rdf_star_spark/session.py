@@ -38,6 +38,12 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # JVM unified logging defaults WARNING-level messages to STDOUT
+        # (observed: "[gc,alloc] ... Retried waiting for GCLocker" under
+        # allocation pressure), which corrupts harnesses that parse this
+        # process's stdout as one JSON line (bench.py contract). Route GC
+        # logging to stderr instead of silencing it.
+        .config("spark.driver.extraJavaOptions", "-Xlog:gc*=warning:stderr")
     )
     return builder.getOrCreate()
 
