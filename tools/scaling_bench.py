@@ -59,6 +59,20 @@ def child(cores: int) -> None:
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     wh = tempfile.mkdtemp(prefix=f"scale_{cores}_", dir=shm)
     try:
+        # untimed warmup replays into a throwaway table: JIT compilation
+        # otherwise lands inside the timed window and costs the SMALL level
+        # relatively more wall-clock (compiler threads compete for its few
+        # pinned cores), which would INFLATE measured efficiency — warm
+        # first so the timed replay compares steady-state engines
+        for w in range(int(os.environ.get("SCALE_WARM_REPLAYS", "1"))):
+            wwh = tempfile.mkdtemp(prefix=f"scalew_{cores}_", dir=shm)
+            try:
+                CdcEngine(spark, wwh, n_buckets=64, mode=MODE).replay(
+                    ev, num_batches=BATCHES, id_prefix=f"warm{w}",
+                    seq_hi=n_events - 1,
+                )
+            finally:
+                shutil.rmtree(wwh, ignore_errors=True)
         eng = CdcEngine(spark, wh, n_buckets=64, mode=MODE)
         t0 = time.perf_counter()
         eng.replay(ev, num_batches=BATCHES, id_prefix="scale", seq_hi=n_events - 1)
@@ -104,13 +118,54 @@ def main() -> None:
         lows.append(lo["events_per_sec"])
         highs.append(hi["events_per_sec"])
         rounds.append({"round": i, "low": lo, "high": hi})
+    method = os.environ.get("SCALE_METHOD", "pinned_subprocess")
+    prev_ceilings = []
+    if os.environ.get("SCALE_APPEND") == "1":
+        # accumulate rounds across sessions (same convention as
+        # inline_scale.py): medians run over the UNION, degraded host
+        # windows included — never replace earlier rounds with a
+        # better-weather re-run
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "BENCH_scaling.json")) as f:
+                prev = json.load(f)["methods"][method]
+            lows = prev["low_evps"] + lows
+            highs = prev["high_evps"] + highs
+            rounds = prev["rounds"] + [
+                {**r, "round": len(prev["rounds"]) + i}
+                for i, r in enumerate(rounds)
+            ]
+            prev_ceilings = prev.get("host_ceiling_samples") or (
+                [prev["host_ceiling_pure_cpu"]]
+                if prev.get("host_ceiling_pure_cpu") else []
+            )
+        except Exception:
+            pass
     med_lo, med_hi = statistics.median(lows), statistics.median(highs)
+    # pure-CPU process-pool ceiling for THIS N→4N pair (what a perfectly
+    # parallel program achieves on this box; see inline_scale._host_ceiling)
+    ceiling = None
+    try:
+        tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "host_ceiling.py")
+        out = subprocess.run(
+            [sys.executable, tool, str(N)], capture_output=True, text=True,
+            timeout=300, check=True,
+        ).stdout.strip().splitlines()[-1]
+        ceiling = float(json.loads(out)["host_ceiling"])
+    except Exception:
+        pass
     section = {
         "description": (
             f"fresh taskset-pinned subprocess JVMs: local[{N}] pinned to "
             f"{N} CPUs vs local[{4 * N}] pinned to {4 * N} CPUs — pinning "
             "stops the low level's GC/JIT/netty threads from borrowing "
-            "extra cores; interleaved trials; tmpfs warehouse+spill"
+            "extra cores; one untimed warmup replay per child so JIT "
+            "compilation doesn't penalize the small level inside the timed "
+            "window; interleaved trials, appendable across sessions "
+            "(medians over the union, degraded windows included); tmpfs "
+            "warehouse+spill"
         ),
         "sf_dir": SF_DIR,
         "event_mult": MULT,
@@ -122,10 +177,16 @@ def main() -> None:
         "median_high_evps": round(med_hi, 1),
         "efficiency_median_per_level": round(med_hi / (4 * med_lo), 3),
     }
+    # the ceiling is a property of the box; a pure-CPU probe in a degraded
+    # window can only UNDER-measure it (there is nothing to inflate a
+    # perfectly-parallel process pool), so across sessions keep the max
+    samples = prev_ceilings + ([round(ceiling, 3)] if ceiling else [])
+    section["host_ceiling_samples"] = samples
+    section["host_ceiling_pure_cpu"] = max(samples) if samples else None
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from scaling_common import write_method
 
-    headline = write_method("pinned_subprocess", section)
+    headline = write_method(method, section)
     print(json.dumps(headline))
 
 

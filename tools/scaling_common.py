@@ -47,12 +47,17 @@ def write_method(name: str, section: dict) -> dict:
     ] or list(methods)
     best_name = max(strong, key=lambda k: eff(methods[k]))
     best = methods[best_name]
-    ceilings = [
-        m.get("host_ceiling_pure_cpu")
-        for m in methods.values()
-        if m.get("host_ceiling_pure_cpu")
-    ]
-    ceiling = max(ceilings) if ceilings else None
+    # ceiling must match the headline method's N→4N pair (the pure-CPU
+    # ceiling of 2→8 differs from 8→32 on the same box); fall back to the
+    # max recorded ceiling only when the method didn't measure its own
+    ceiling = best.get("host_ceiling_pure_cpu")
+    if not ceiling:
+        ceilings = [
+            m.get("host_ceiling_pure_cpu")
+            for m in methods.values()
+            if m.get("host_ceiling_pure_cpu")
+        ]
+        ceiling = max(ceilings) if ceilings else None
     e = eff(best)
     norm = round(e / ceiling, 3) if ceiling else None
     out = {
