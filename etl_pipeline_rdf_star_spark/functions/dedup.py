@@ -352,3 +352,91 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTERING: collapse pairwise candidate edges into
+    connected components, labelling every member with the component's
+    minimum id (the canonical document to keep).
+
+    Alternating **large-star / small-star** (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the shuffle-bounded
+    MapReduce formulation, NOT label propagation: converges in
+    O(log² n) rounds regardless of component diameter, each round two
+    keyed aggregations + a self-join, so a 100-TB pair set needs no
+    driver-side graph and no O(diameter) iteration count. The reference
+    pipeline stops at pairwise candidates (this repo's
+    :func:`minhash_lsh_pairs` et al.); clustering is the canonical next
+    stage of an LLM training-data dedup pipeline (pick one doc per
+    cluster).
+
+    Each round ends in an eager ``localCheckpoint`` — iterative
+    DataFrames otherwise double their logical plan every round until
+    Catalyst itself OOMs formatting it (measured: a 10-node chain blew a
+    4 GiB driver heap in plan *strings*). Checkpointing makes every
+    round's plan O(1). On a multi-executor cluster swap in a reliable
+    ``checkpoint()`` (localCheckpoint does not survive executor loss).
+
+    Returns (doc_id, cluster_id) for every node that appears in ≥1 edge
+    (singletons never enter the pair set and keep themselves by
+    definition). Raises if ``max_iter`` rounds don't converge — silent
+    truncation would mislabel clusters.
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_e = e.count()
+    for _ in range(max_iter):
+        # large-star: every node u links its STRICTLY GREATER neighbours
+        # to min(Γ(u) ∪ {u})
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least(F.col("u"), F.col("_mn")).alias("m")
+        )
+        ls = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges high→low; every node links its
+        # ≤-neighbours (and itself) to the minimum of that set
+        sm = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smin = sm.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            sm.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smin.select(F.col("u").alias("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = new_e.count()
+        stable = n_new == n_e and new_e.subtract(e).limit(1).count() == 0
+        e, n_e = new_e, n_new
+        if stable:
+            # fixed point = star graphs rooted at component minima
+            stars = e.select(
+                F.greatest("u", "v").alias("doc_id"),
+                F.least("u", "v").alias("cluster_id"),
+            )
+            roots = stars.select("cluster_id").distinct().select(
+                F.col("cluster_id").alias("doc_id"), "cluster_id"
+            )
+            return stars.unionByName(roots).distinct()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

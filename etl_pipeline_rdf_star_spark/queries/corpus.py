@@ -391,6 +391,53 @@ def q_modified_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changefeed (Iceberg incremental read / Delta CDF
+    shape): net insert/update/delete per key over the (40%, 80%] seq
+    window, served from manifest-pruned delta files only — O(window
+    events), unlike the diff queries' two full as-of states. The DuckDB
+    oracle replays the raw log's window, so CORRECTNESS proves the
+    bounded path equals the full replay."""
+    import math
+
+    eng = _lake_engine(spark, sf_dir)
+    hi = eng.max_seq()
+    if hi is None:
+        raise ValueError(
+            f"changefeed needs manifest seq stats; none for {eng.table.path}"
+        )
+    return eng.changes_between(
+        int(math.floor(hi * 0.4)), int(math.floor(hi * 0.8))
+    )
+
+
+_CHANGE_FEED_SQL = f"""
+WITH ev AS (SELECT * FROM {_EVENTS_SQL} e),
+cuts AS (SELECT CAST(floor(max(seq) * 0.4) AS BIGINT) AS lo,
+                CAST(floor(max(seq) * 0.8) AS BIGINT) AS hi FROM ev),
+win AS (
+  SELECT ev.*, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM ev CROSS JOIN cuts WHERE ev.seq > cuts.lo AND ev.seq <= cuts.hi
+),
+latest AS (SELECT * FROM win WHERE rn = 1),
+pri AS (
+  SELECT repo, path FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+    FROM ev CROSS JOIN cuts WHERE ev.seq <= cuts.lo
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT l.repo, l.path,
+       CASE WHEN l.op = 'D' THEN 'delete'
+            WHEN p.repo IS NULL THEN 'insert'
+            ELSE 'update' END AS change_type,
+       CASE WHEN l.op = 'D' THEN NULL ELSE l."commit" END AS commit,
+       CASE WHEN l.op = 'D' THEN NULL ELSE l.lang END AS lang,
+       l.seq
+FROM latest l LEFT JOIN pri p ON p.repo = l.repo AND p.path = l.path
+WHERE NOT (l.op = 'D' AND p.repo IS NULL)
+"""
+
+
 def q_polyglot_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta self-join (J9 shape — cross-system comparison
     tests/test_postman_queries.py:578-597): distinct ordered lang pairs
@@ -1231,6 +1278,41 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, bands=4, rows_per_band=3)
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH candidate pairs collapsed into connected
+    components via alternating large-star/small-star (the shuffle-bounded
+    MapReduce CC algorithm), labelling each doc with its component's min
+    id — the canonical keep-one-per-cluster stage of a training-data
+    dedup pipeline. Oracle: DuckDB recursive-CTE transitive closure over
+    the identical pair set."""
+    from ..functions.dedup import connected_components, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, bands=4, rows_per_band=3)
+    return connected_components(pairs)
+
+
+def _near_dup_clusters_sql(bands: int = 4, rows_per_band: int = 3) -> str:
+    """Recursive-CTE connected components over the LSH pair oracle: walk
+    the symmetric edge closure, then label every node with the minimum
+    reachable id. Exact ground truth for the large-star/small-star
+    operator (tiny pair sets at oracle SF keep the closure cheap)."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql(bands, rows_per_band)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM walk GROUP BY u
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs. Oracle: DuckDB xor + bit_count replay of the
     60-bit signature and pigeonhole block join."""
@@ -1582,6 +1664,7 @@ SELECT CASE WHEN prev_commit IS NULL THEN 'added'
 FROM h GROUP BY 1""",
     ),
     "as_of_state": QueryEntry(q_as_of_state, _state_at_sql("0.6")),
+    "change_feed": QueryEntry(q_change_feed, _CHANGE_FEED_SQL),
     "diff_added_files": QueryEntry(
         q_diff_added_files,
         f"""
@@ -1749,6 +1832,7 @@ FROM t GROUP BY event_type""",
     "doc_lang_id": QueryEntry(q_doc_lang_id, _lang_id_sql()),
     "minhash_signatures": QueryEntry(q_minhash_signatures, _minhash_sql()),
     "minhash_lsh_dups": QueryEntry(q_minhash_lsh_dups, _minhash_lsh_sql()),
+    "near_dup_clusters": QueryEntry(q_near_dup_clusters, _near_dup_clusters_sql()),
     "simhash_near_dups": QueryEntry(q_simhash_near_dups, _simhash_pairs_sql()),
     "ngram_jaccard_dups": QueryEntry(q_ngram_jaccard_dups, _JACCARD_SQL),
     "embedding_near_dups": QueryEntry(q_embedding_near_dups, _EMB_DUP_SQL),

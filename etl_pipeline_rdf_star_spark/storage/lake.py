@@ -73,6 +73,15 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed the same snapshot version first."""
 
 
+def _snap_max(s: "Snapshot") -> int | None:
+    """Max manifest seq_max across a snapshot's files; None if any file
+    lacks stats (pre-stats commits) — callers treat None as unknown."""
+    maxes = [f.get("seq_max") for f in s.files]
+    if not maxes or any(m is None for m in maxes):
+        return None
+    return max(maxes)
+
+
 def _merge_schemas(base: StructType, incoming: StructType) -> StructType:
     """Iceberg-style additive evolution: incoming fields not in base are
     appended (nullable); existing fields keep base types."""
@@ -771,8 +780,6 @@ class LakeTable:
         as-of while their victims' original files are retained — only
         expire_snapshots makes history non-time-travelable, and that
         raises explicitly."""
-        from pyspark.sql import Window
-
         if order_col != "seq":
             # manifest stats (seq_min/seq_max) are recorded for `seq` only;
             # pruning by another column's cut would silently mis-prune
@@ -781,16 +788,23 @@ class LakeTable:
                 f"read_asof requires order_col='seq' (manifest stats are "
                 f"recorded for 'seq' only), got {order_col!r}"
             )
+        vs, snaps, base_v = self._asof_base_plan(seq_cut)
+        delta_files = self._delta_file_walk(vs, snaps, base_v, hi_incl=seq_cut)
+        return self._asof_assemble(
+            vs, snaps, base_v, delta_files, seq_cut, order_col, deleted_col
+        )
+
+    def _asof_base_plan(
+        self, seq_cut: int
+    ) -> tuple[list[int], dict[int, Snapshot], int | None]:
+        """Soundness checks + base-snapshot selection for a read at
+        ``seq_cut`` (shared by :meth:`read_asof` and
+        :meth:`read_changes`). Returns (versions, snapshots, base_v) or
+        raises when purge/expiry history makes the cut unservable."""
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"lake table {self.path} has no snapshots")
         snaps = {v: self.snapshot(v) for v in vs}
-
-        def snap_max(s: Snapshot) -> int | None:
-            maxes = [f.get("seq_max") for f in s.files]
-            if not maxes or any(m is None for m in maxes):
-                return None
-            return max(maxes)
 
         wm = self.purge_watermark()
 
@@ -872,7 +886,7 @@ class LakeTable:
                 continue
             if base_unsound(v):
                 continue
-            m = snap_max(s)
+            m = _snap_max(s)
             if m is not None and m <= seq_cut:
                 base_v = v
         if base_v is None and vs[0] != 0:
@@ -880,7 +894,21 @@ class LakeTable:
                 f"as-of {seq_cut} predates retained history of {self.path} "
                 "(no qualifying compacted snapshot and early versions expired)"
             )
+        return vs, snaps, base_v
 
+    def _delta_file_walk(
+        self,
+        vs: list[int],
+        snaps: dict[int, Snapshot],
+        base_v: int | None,
+        hi_incl: int,
+        lo_excl: int | None = None,
+    ) -> list[dict[str, Any]]:
+        """Manifest-pruned data files carrying events with seq in
+        (``lo_excl``, ``hi_incl``] from commits after ``base_v`` (every
+        version > base_v is retained — the version list is a contiguous
+        suffix, so nothing in the range can have been expired without
+        the base-plan soundness checks raising first)."""
         delta_files: list[dict[str, Any]] = []
         for v in vs:
             if base_v is not None and v <= base_v:
@@ -907,9 +935,26 @@ class LakeTable:
                 if tag not in f["path"]:
                     continue  # carried over from an earlier commit
                 lo = f.get("seq_min")
-                if lo is not None and lo > seq_cut:
+                if lo is not None and lo > hi_incl:
                     continue  # manifest-pruned: entirely after the cut
+                if lo_excl is not None:
+                    hi_stat = f.get("seq_max")
+                    if hi_stat is not None and hi_stat <= lo_excl:
+                        continue  # manifest-pruned: entirely at/before lo
                 delta_files.append(f)
+        return delta_files
+
+    def _asof_assemble(
+        self,
+        vs: list[int],
+        snaps: dict[int, Snapshot],
+        base_v: int | None,
+        delta_files: list[dict[str, Any]],
+        seq_cut: int,
+        order_col: str,
+        deleted_col: str,
+    ) -> DataFrame:
+        from pyspark.sql import Window
 
         schema = self._schema(snaps[vs[-1]])
         empty = self.spark.createDataFrame([], schema)
@@ -937,7 +982,7 @@ class LakeTable:
             if base_v is None:
                 out = resolve(delta)
             else:
-                base_max = snap_max(snaps[base_v])
+                base_max = _snap_max(snaps[base_v])
                 delta_mins = [f.get("seq_min") for f in delta_files]
                 disjoint = (
                     base_max is not None
@@ -958,6 +1003,101 @@ class LakeTable:
         if deleted_col in out.columns:
             out = out.where(~F.coalesce(F.col(deleted_col), F.lit(False)))
         return out
+
+    def read_changes(
+        self,
+        lo_cut: int,
+        hi_cut: int,
+        order_col: str = "seq",
+        deleted_col: str = "_deleted",
+    ) -> DataFrame:
+        """Incremental changefeed (Iceberg incremental read / Delta CDF
+        shape): the NET change per key over the half-open seq window
+        (``lo_cut``, ``hi_cut``] — one row per touched key with a
+        ``change_type`` column:
+
+        * ``insert`` — not live at lo, live at hi (post-image row)
+        * ``update`` — live at both (post-image row)
+        * ``delete`` — live at lo, tombstoned at hi (tombstone row)
+
+        Keys that churn entirely inside the window (insert→delete) net to
+        nothing and are not emitted, matching net-change CDF semantics.
+
+        Bounded work, the property the existing state-diff queries
+        (anti/semi-join of two as-of states) cannot give: the window scan
+        reads ONLY manifest-pruned delta files overlapping (lo, hi] —
+        O(window events), not O(live state) — and prior-state
+        classification touches the big side once via two broadcasts of the
+        (small) window key set: a broadcast semi-join filters the as-of(lo)
+        state to window keys, and that bounded result is broadcast back
+        into the left join. Assumes the incremental-consumer regime
+        |window| ≪ |state|; a full-history window degenerates to the diff
+        queries' cost, not worse.
+
+        Requires a MoR table (per-event delta rows + tombstones retained);
+        COW merges rewrite state in place, so deletes would be silently
+        invisible — refused instead. Soundness at ``lo_cut`` (purge/expiry
+        interplay) is enforced by the shared as-of base plan; window
+        events above lo live in retained commits after the base, where
+        purge rewrites only ever add byte-identical duplicates that
+        max-seq resolution collapses."""
+        from pyspark.sql import Window
+
+        if order_col != "seq":
+            raise ValueError(
+                f"read_changes requires order_col='seq' (manifest stats are "
+                f"recorded for 'seq' only), got {order_col!r}"
+            )
+        if lo_cut >= hi_cut:
+            raise ValueError(
+                f"read_changes needs lo_cut < hi_cut, got ({lo_cut}, {hi_cut})"
+            )
+        vs, snaps, base_v = self._asof_base_plan(lo_cut)
+        schema = self._schema(snaps[vs[-1]])
+        if deleted_col not in [f.name for f in schema.fields]:
+            raise ValueError(
+                "read_changes requires a MoR table with tombstone rows "
+                f"({deleted_col!r} column); COW tables erase deletes "
+                "physically, so a changefeed over them would silently "
+                "miss them"
+            )
+        win_files = self._delta_file_walk(
+            vs, snaps, base_v, hi_incl=hi_cut, lo_excl=lo_cut
+        )
+        if win_files:
+            win = self.spark.read.schema(schema).parquet(
+                *[self._abs(f["path"]) for f in win_files]
+            )
+        else:
+            win = self.spark.createDataFrame([], schema)
+        win = win.where(
+            (F.col(order_col) > lo_cut) & (F.col(order_col) <= hi_cut)
+        )
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col(order_col).desc())
+        latest = (
+            win.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        wkeys = latest.select(*self.key_cols)
+        prior = (
+            self.read_asof(lo_cut, order_col=order_col, deleted_col=deleted_col)
+            .join(F.broadcast(wkeys), list(self.key_cols), "left_semi")
+            .select(*self.key_cols)
+            .withColumn("_prior", F.lit(True))
+        )
+        dele = F.coalesce(F.col(deleted_col), F.lit(False))
+        out = latest.join(F.broadcast(prior), list(self.key_cols), "left")
+        return (
+            out.withColumn(
+                "change_type",
+                F.when(dele & F.col("_prior").isNotNull(), F.lit("delete"))
+                .when((~dele) & F.col("_prior").isNotNull(), F.lit("update"))
+                .when(~dele, F.lit("insert")),
+            )
+            .where(F.col("change_type").isNotNull())
+            .drop("_prior")
+        )
 
     def compact(
         self,

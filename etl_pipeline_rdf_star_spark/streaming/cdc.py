@@ -419,6 +419,23 @@ class CdcEngine:
             "repo", "path", "commit", "lang", "content"
         )
 
+    def changes_between(self, lo_cut: int, hi_cut: int) -> DataFrame:
+        """Incremental changefeed over (lo, hi]: net insert/update/delete
+        per key, served from manifest-pruned delta files (see
+        LakeTable.read_changes). Payload columns are nulled on delete —
+        a tombstone's stored payload is an implementation detail of the
+        materializer, not part of the changefeed contract."""
+        ch = self.table.read_changes(lo_cut, hi_cut)
+        dele = F.col("change_type") == F.lit("delete")
+        return ch.select(
+            "repo",
+            "path",
+            "change_type",
+            F.when(dele, F.lit(None)).otherwise(F.col("commit")).alias("commit"),
+            F.when(dele, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+            F.col("seq"),
+        )
+
     def purge_tombstones(self) -> None:
         """Compaction: physically drop tombstone rows (key-replacement merge
         of the tombstones as op='D' — removes the keys, inserts nothing).

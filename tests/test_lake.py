@@ -310,3 +310,101 @@ def test_write_skips_layout_shuffle_with_low_bucket_count(spark, tmp_path):
         f["bucket"] == int(f["path"].split("_bp=")[1].split("/")[0])
         for f in snap.files
     )
+
+
+# -- incremental changefeed (read_changes) ------------------------------------
+
+
+def _changes_expected(events, lo, hi):
+    """Brute-force net change per key over (lo, hi]."""
+    latest_win, prior = {}, {}
+    for k, seq, v, dead in events:
+        if seq <= lo and (k not in prior or seq > prior[k][0]):
+            prior[k] = (seq, dead)
+        if lo < seq <= hi and (k not in latest_win or seq > latest_win[k][0]):
+            latest_win[k] = (seq, v, dead)
+    out = set()
+    for k, (seq, v, dead) in latest_win.items():
+        live_before = k in prior and not prior[k][1]
+        if dead and live_before:
+            out.add((k, seq, "delete"))
+        elif not dead and live_before:
+            out.add((k, seq, "update"))
+        elif not dead:
+            out.add((k, seq, "insert"))
+    return out
+
+
+def _changes_got(tbl, lo, hi):
+    return {
+        (r.k, r.seq, r.change_type)
+        for r in tbl.read_changes(lo, hi).collect()
+    }
+
+
+_CF_BATCHES = [
+    [("a", 0, 10, False), ("b", 1, 20, False), ("c", 2, 30, False)],
+    [("a", 10, 11, False), ("b", 12, 99, True), ("d", 13, 40, False)],
+    [("b", 20, 21, False), ("c", 22, 99, True), ("a", 25, 12, False)],
+    [("d", 30, 41, False), ("e", 33, 50, False)],
+    # f churns entirely inside one window: insert@35, delete@40 — a net
+    # no-op that a changefeed must NOT emit
+    [("f", 35, 60, False), ("f", 40, 99, True)],
+]
+
+
+def _cf_table(spark, tmp_path, compact_after=1):
+    tbl = LakeTable(spark, str(tmp_path / "cf"), key_cols=["k"], n_buckets=4)
+    for i, b in enumerate(_CF_BATCHES):
+        tbl.merge_mor(_df(spark, b, _ASOF_SCHEMA), f"b{i}")
+        if i == compact_after:
+            tbl.compact()
+    return tbl, [e for b in _CF_BATCHES for e in b]
+
+
+def test_read_changes_matches_replay(spark, tmp_path):
+    """Every (lo, hi) window over MoR commits + a mid-history compaction
+    nets to exactly the brute-force replay classification — including the
+    delete→re-insert (update), insert→delete-in-window (dropped), and
+    tombstone-at-hi (delete) cases."""
+    tbl, events = _cf_table(spark, tmp_path)
+    for lo, hi in [(2, 22), (0, 40), (11, 33), (9, 20), (22, 35), (33, 40)]:
+        assert _changes_got(tbl, lo, hi) == _changes_expected(
+            events, lo, hi
+        ), f"window=({lo},{hi}]"
+
+
+def test_read_changes_window_guards(spark, tmp_path):
+    tbl, _ = _cf_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="lo_cut < hi_cut"):
+        tbl.read_changes(10, 10)
+    with pytest.raises(ValueError, match="order_col='seq'"):
+        tbl.read_changes(0, 5, order_col="v")
+
+
+def test_read_changes_refuses_cow(spark, tmp_path):
+    """COW tables erase deletes physically — a changefeed over them would
+    silently miss them, so the API refuses."""
+    tbl = LakeTable(spark, str(tmp_path / "cow"), key_cols=["k"], n_buckets=2)
+    tbl.create(_df(spark, [("a", 1)]))
+    with pytest.raises(ValueError, match="MoR"):
+        tbl.read_changes(0, 5)
+
+
+def test_read_changes_prunes_outside_window(spark, tmp_path):
+    """Manifest pruning: the window file walk must skip commits entirely
+    at/below lo AND entirely above hi — O(window events), the property
+    that distinguishes the changefeed from a two-state diff."""
+    tbl = LakeTable(spark, str(tmp_path / "cfp"), key_cols=["k"], n_buckets=2)
+    for i, lohi in enumerate([(0, 9), (10, 19), (20, 29)]):
+        rows = [(f"k{s}", s, s, False) for s in range(lohi[0], lohi[1] + 1)]
+        tbl.merge_mor(_df(spark, rows, _ASOF_SCHEMA), f"b{i}")
+    vs, snaps, base_v = tbl._asof_base_plan(9)
+    files = tbl._delta_file_walk(vs, snaps, base_v, hi_incl=15, lo_excl=9)
+    ranges = {(f["seq_min"], f["seq_max"]) for f in files}
+    assert ranges and all(
+        10 <= lo_ and hi_ <= 19 for lo_, hi_ in ranges
+    ), f"expected only middle-commit files, got {ranges}"
+    # and the assembled feed over that window is pure inserts 10..15
+    got = _changes_got(tbl, 9, 15)
+    assert got == {(f"k{s}", s, "insert") for s in range(10, 16)}

@@ -384,3 +384,60 @@ def test_corpus_embedding_near_dup_entries_are_non_vacuous(spark, sf_dir):
         assert (i, i + 1_000_000, 1.0) in got
     lsh = corpus.q_embedding_near_dups_lsh(spark, sf_dir)
     assert {(r.id_a, r.id_b, r.cos) for r in lsh.collect()} == got
+
+
+# -- connected-components clustering (large-star/small-star) -----------------
+
+
+def _uf_components(n_nodes_edges):
+    """Union-find ground truth: node -> min id of its component."""
+    edges = n_nodes_edges
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def _cc_got(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(df).collect()
+    }
+
+
+def test_connected_components_chain(spark):
+    """A length-10 path has diameter 9 — label propagation would need 9
+    rounds; large-star/small-star collapses it in O(log²) and must still
+    label every node with the path minimum."""
+    edges = [(i, i + 1) for i in range(9)]
+    assert _cc_got(spark, edges) == {(i, 0) for i in range(10)}
+
+
+def test_connected_components_multi(spark):
+    """Two components, duplicate + reversed edges, arbitrary ids."""
+    edges = [(5, 3), (3, 5), (3, 9), (9, 5), (20, 30), (30, 20), (40, 30)]
+    got = _cc_got(spark, edges)
+    assert got == {(3, 3), (5, 3), (9, 3), (20, 20), (30, 20), (40, 20)}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(70)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    want = set(_uf_components(edges).items())
+    assert _cc_got(spark, edges) == want
