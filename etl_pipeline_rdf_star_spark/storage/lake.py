@@ -918,7 +918,8 @@ class LakeTable:
                 continue  # rewrite of already-counted events
             if s.operation not in ("create", "merge_mor", "append", "merge"):
                 raise ValueError(
-                    f"read_asof unsupported over '{s.operation}' commit v{v}"
+                    f"as-of/changefeed read unsupported over "
+                    f"'{s.operation}' commit v{v}"
                 )
             # Rewriting COW merges (incl. purge_tombstones) are safe to
             # include rather than refuse (review finding: a purge
@@ -944,6 +945,24 @@ class LakeTable:
                 delta_files.append(f)
         return delta_files
 
+    def _read_file_metas(
+        self, metas: list[dict[str, Any]], schema: StructType
+    ) -> DataFrame:
+        paths = [self._abs(f["path"]) for f in metas]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _latest_per_key(self, df: DataFrame, order_col: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col(order_col).desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def _asof_assemble(
         self,
         vs: list[int],
@@ -954,27 +973,19 @@ class LakeTable:
         order_col: str,
         deleted_col: str,
     ) -> DataFrame:
-        from pyspark.sql import Window
-
         schema = self._schema(snaps[vs[-1]])
-        empty = self.spark.createDataFrame([], schema)
 
         def read_files(metas: list[dict[str, Any]]) -> DataFrame:
-            paths = [self._abs(f["path"]) for f in metas]
-            if not paths:
-                return empty
-            return self.spark.read.schema(schema).parquet(*paths)
-
-        base = read_files(snaps[base_v].files) if base_v is not None else empty
-        w = Window.partitionBy(*self.key_cols).orderBy(F.col(order_col).desc())
+            return self._read_file_metas(metas, schema)
 
         def resolve(df: DataFrame) -> DataFrame:
-            return (
-                df.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            return self._latest_per_key(df, order_col)
 
+        base = (
+            read_files(snaps[base_v].files)
+            if base_v is not None
+            else self.spark.createDataFrame([], schema)
+        )
         if not delta_files:
             out = base
         else:
@@ -1036,13 +1047,15 @@ class LakeTable:
 
         Requires a MoR table (per-event delta rows + tombstones retained);
         COW merges rewrite state in place, so deletes would be silently
-        invisible — refused instead. Soundness at ``lo_cut`` (purge/expiry
-        interplay) is enforced by the shared as-of base plan; window
-        events above lo live in retained commits after the base, where
-        purge rewrites only ever add byte-identical duplicates that
-        max-seq resolution collapses."""
-        from pyspark.sql import Window
-
+        invisible — refused instead (both the schema-level check for
+        tombstone-free tables and a per-commit check for row-dropping COW
+        merges whose victims could reach into the window; purge/compact
+        rewrites are exempt because the rows they drop still pre-exist in
+        earlier walked commits' immutable files). Soundness at ``lo_cut``
+        (purge/expiry interplay) is enforced by the shared as-of base
+        plan; window events above lo live in retained commits after the
+        base, where purge rewrites only ever add byte-identical
+        duplicates that max-seq resolution collapses."""
         if order_col != "seq":
             raise ValueError(
                 f"read_changes requires order_col='seq' (manifest stats are "
@@ -1061,28 +1074,49 @@ class LakeTable:
                 "physically, so a changefeed over them would silently "
                 "miss them"
             )
+        for v in vs:
+            # A plain COW merge with op='D' rows physically erases keys —
+            # the delete event never lands in any file, so a window
+            # overlapping it would silently miss the 'delete' change.
+            # Purge rewrites (batch id 'purge-*') and tombstone-dropping
+            # compactions only remove rows that STILL EXIST in earlier
+            # commits' files (immutable until expiry, which the base plan
+            # already guards), so they stay readable.
+            if base_v is not None and v <= base_v:
+                continue  # base soundness at lo already vetted these
+            s = snaps[v]
+            if not s.summary.get("drops_rows"):
+                continue
+            bid = str(s.summary.get("batch_id", ""))
+            if bid.startswith("purge-") or s.summary.get("mode") == "compact":
+                continue
+            b = s.summary.get("drops_rows_below")
+            if b is None or lo_cut < int(b):
+                raise ValueError(
+                    f"read_changes window ({lo_cut}, {hi_cut}] may overlap "
+                    f"COW-deleted events (commit v{v}, batch {bid!r} dropped "
+                    f"rows below seq {b}); COW deletes leave no tombstone, "
+                    "so the changefeed cannot reconstruct them"
+                )
         win_files = self._delta_file_walk(
             vs, snaps, base_v, hi_incl=hi_cut, lo_excl=lo_cut
         )
-        if win_files:
-            win = self.spark.read.schema(schema).parquet(
-                *[self._abs(f["path"]) for f in win_files]
-            )
-        else:
-            win = self.spark.createDataFrame([], schema)
-        win = win.where(
+        win = self._read_file_metas(win_files, schema).where(
             (F.col(order_col) > lo_cut) & (F.col(order_col) <= hi_cut)
         )
-        w = Window.partitionBy(*self.key_cols).orderBy(F.col(order_col).desc())
-        latest = (
-            win.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        latest = self._latest_per_key(win, order_col)
         wkeys = latest.select(*self.key_cols)
+        prior_state = self._asof_assemble(
+            vs,
+            snaps,
+            base_v,
+            self._delta_file_walk(vs, snaps, base_v, hi_incl=lo_cut),
+            lo_cut,
+            order_col,
+            deleted_col,
+        )
         prior = (
-            self.read_asof(lo_cut, order_col=order_col, deleted_col=deleted_col)
-            .join(F.broadcast(wkeys), list(self.key_cols), "left_semi")
+            prior_state.join(F.broadcast(wkeys), list(self.key_cols), "left_semi")
             .select(*self.key_cols)
             .withColumn("_prior", F.lit(True))
         )

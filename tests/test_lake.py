@@ -408,3 +408,25 @@ def test_read_changes_prunes_outside_window(spark, tmp_path):
     # and the assembled feed over that window is pure inserts 10..15
     got = _changes_got(tbl, 9, 15)
     assert got == {(f"k{s}", s, "insert") for s in range(10, 16)}
+
+
+def test_read_changes_refuses_cow_deletes_in_window(spark, tmp_path):
+    """A plain COW merge with op='D' physically erases the key — no
+    tombstone lands anywhere, so a window overlapping it must refuse
+    rather than silently omit the delete (review finding)."""
+    tbl = LakeTable(spark, str(tmp_path / "cfd"), key_cols=["k"], n_buckets=2)
+    tbl.merge_mor(
+        _df(spark, [("a", 0, 1, False), ("b", 1, 2, False)], _ASOF_SCHEMA),
+        "b0",
+    )
+    cow = _df(
+        spark,
+        [("b", 5, 99, False, "D")],
+        "k string, seq long, v long, _deleted boolean, op string",
+    )
+    tbl.merge(cow, "cowdel", op_col="op")
+    with pytest.raises(ValueError, match="COW-deleted events"):
+        tbl.read_changes(2, 9)
+    # a window strictly above the drop bound is still served
+    tbl.merge_mor(_df(spark, [("c", 10, 3, False)], _ASOF_SCHEMA), "b1")
+    assert _changes_got(tbl, 6, 12) == {("c", 10, "insert")}
