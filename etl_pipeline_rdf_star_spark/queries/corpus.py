@@ -1506,6 +1506,70 @@ def q_sparql_union_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
         }""")
 
 
+def q_sparql_path_same_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path SEQUENCE + INVERSE through the SPARQL front end
+    (SPARQL 1.1 ``ex:repo/^ex:repo`` — files co-located in a repo),
+    aggregated per repo so the output stays O(repos). Oracle: the same
+    ordered-pair self-join in DuckDB over the final CDC state."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        SELECT ?repo (COUNT(*) AS ?n_pairs) WHERE {
+            ?a ex:repo ?repo .
+            ?a ex:repo/^ex:repo ?b .
+            FILTER(?a < ?b)
+        } GROUP BY ?repo""")
+
+
+def q_sparql_path_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArbitraryLengthPath (``+``) through the SPARQL front end: a
+    deterministic next-doc chain (segments of 16 by doc_id) closed
+    transitively via the engine's pointer-doubling closure. Oracle:
+    DuckDB recursive-CTE walk over the identical derived edges."""
+    from .sparql import SparqlDataset, sparql_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.where((F.col("doc_id") % 16) != 15).select(
+        F.concat(F.lit("http://example.org/doc/"), F.col("doc_id")).alias(
+            "subject"
+        ),
+        F.lit("http://example.org/next").alias("predicate"),
+        F.concat(
+            F.lit("http://example.org/doc/"), F.col("doc_id") + 1
+        ).alias("object"),
+    )
+    ds = SparqlDataset(triples=edges)
+    return sparql_df(ds, """
+        PREFIX ex: <http://example.org/>
+        SELECT ?x ?y WHERE { ?x ex:next+ ?y }""")
+
+
+_SPARQL_PATH_SAME_REPO_SQL = f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f),
+fr AS (SELECT {_SUBJ} AS f,
+              'http://example.org/repo/' || {_san('repo')} AS repo
+       FROM final)
+SELECT a.repo AS repo, count(*) AS n_pairs
+FROM fr a JOIN fr b ON a.repo = b.repo AND a.f < b.f
+GROUP BY a.repo
+"""
+
+_SPARQL_PATH_REACH_SQL = """
+WITH RECURSIVE e AS (
+  SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS s,
+         'http://example.org/doc/' || CAST(doc_id + 1 AS VARCHAR) AS o
+  FROM documents WHERE doc_id % 16 <> 15
+),
+walk(x, y) AS (
+  SELECT s, o FROM e
+  UNION
+  SELECT w.x, e.o FROM walk w JOIN e ON w.y = e.s
+)
+SELECT x, y FROM walk
+"""
+
+
 def q_sparql_exists_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expression-level EXISTS (round-3 VERDICT missing #2): the
     batch_queries.rq:561 change-classification shape
@@ -1593,6 +1657,12 @@ WHERE round((length(content) % 100) / 100.0, 2) > 0.5""",
 SELECT DISTINCT object FROM ({_ASSERTED_SQL}) t
 WHERE predicate IN ('http://example.org/lang',
                     'http://purl.org/dc/terms/identifier')""",
+    ),
+    "sparql_path_same_repo": QueryEntry(
+        q_sparql_path_same_repo, _SPARQL_PATH_SAME_REPO_SQL
+    ),
+    "sparql_path_reachability": QueryEntry(
+        q_sparql_path_reachability, _SPARQL_PATH_REACH_SQL
     ),
     "sparql_exists_classification": QueryEntry(
         q_sparql_exists_classification,

@@ -75,9 +75,20 @@ class Term:
 
 
 @dataclass
+class Path:
+    """SPARQL 1.1 property-path AST node (predicate position only).
+
+    ``op``: ``link`` (items = [iri str]) | ``inv`` | ``seq`` | ``alt`` |
+    ``plus`` | ``star`` | ``opt`` (items = child Paths)."""
+
+    op: str
+    items: list
+
+
+@dataclass
 class TriplePattern:
     s: Term
-    p: Term
+    p: Term  # kind "var" | "iri" | "path" (value = Path)
     o: Term
     graph: Term | None = None
 
@@ -247,10 +258,13 @@ class _Lex:
         if c in "?$":
             m = re.match(r"[?$]([A-Za-z_][A-Za-z0-9_]*)", t[i:])
             if not m:
+                if c == "?":  # bare '?': zero-or-one property-path modifier
+                    self.i += 1
+                    return ("?", None)
                 self._err("bad variable")
             self.i += m.end()
             return ("var", m.group(1))
-        if c in "{}().;,*=>!/+-" and not (
+        if c in "{}().;,*=>!/+-^|" and not (
             c in "+-." and re.match(r"[+-]?(\d|\.\d)", t[i:])
         ):
             self.i += 1
@@ -305,8 +319,28 @@ class _Lex:
             t[i:],
         )
         if m:
-            self.i += m.end()
-            return ("pname", m.group(0))
+            lex = m.group(0)
+            end = i + m.end()
+            # '/' in local parts is reference-template compat
+            # (ex:BatchStatus/pending) — but an UNSPACED property-path
+            # sequence like rdf:type/rdfs:subClassOf greedily matches up
+            # to the second ':' and dies there. When the match stops
+            # right before a ':' and carries a '/', the trailing segment
+            # is really the next path element's prefix: backtrack to the
+            # last '/'
+            if end < self.n and t[end] == ":" and "/" in lex.split(":", 1)[1]:
+                cut = lex.rindex("/")
+                self.i = i + cut
+                return ("pname", lex[:cut])
+            if lex.endswith("/"):
+                # a trailing '/' before a non-pname token (e.g. the '^' of
+                # ex:repo/^ex:repo) is the sequence operator, not part of
+                # the local name
+                cut = len(lex.rstrip("/"))
+                self.i = i + cut
+                return ("pname", lex[:cut])
+            self.i = end
+            return ("pname", lex)
         m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", t[i:])
         if m:
             word = m.group(0)
@@ -500,10 +534,73 @@ class _Parser:
         if self.lx.peek() == (".", None):
             self.lx.next()
 
+    # -- property paths ----------------------------------------------------
+
+    _PATH_START = {("^", None), ("(", None), ("!", None)}
+    _PATH_OPS = {("|", None), ("/", None), ("*", None), ("+", None), ("?", None)}
+
+    def _path_or_term(self) -> Term:
+        """Predicate position: a plain term (var/iri — the zero-regression
+        fast path) or a SPARQL 1.1 property path. NB pname local parts may
+        legally contain ``/`` in this dialect (reference template compat:
+        ``ex:BatchStatus/pending``), so pname path SEQUENCES need spaces
+        around ``/``; bracketed IRIs compose either way."""
+        nxt = self.lx.peek()
+        if nxt in self._PATH_START:
+            return Term("path", self._path_alt())
+        t = self._term()
+        if t.kind == "iri" and self.lx.peek() in self._PATH_OPS:
+            return Term("path", self._path_alt(first=Path("link", [t.value])))
+        return t  # var predicate or plain iri
+
+    def _path_alt(self, first: Path | None = None) -> Path:
+        items = [self._path_seq(first)]
+        while self.lx.peek() == ("|", None):
+            self.lx.next()
+            items.append(self._path_seq(None))
+        return items[0] if len(items) == 1 else Path("alt", items)
+
+    def _path_seq(self, first: Path | None) -> Path:
+        items = [self._path_elt(first)]
+        while self.lx.peek() == ("/", None):
+            self.lx.next()
+            items.append(self._path_elt(None))
+        return items[0] if len(items) == 1 else Path("seq", items)
+
+    def _path_elt(self, first: Path | None) -> Path:
+        if first is not None:
+            p = first  # already-consumed leading iri (modifier may follow)
+        else:
+            inv = False
+            if self.lx.peek() == ("^", None):
+                self.lx.next()
+                inv = True
+            if self.lx.peek() == ("(", None):
+                self.lx.next()
+                p = self._path_alt()
+                self.lx.expect(")")
+            elif self.lx.peek() == ("!", None):
+                raise SparqlUnsupported("negated property sets (!) in paths")
+            else:
+                t = self._term(allow_quoted=False)
+                if t.kind != "iri":
+                    raise SparqlParseError(
+                        f"property-path element must be an IRI, got {t.kind}"
+                    )
+                p = Path("link", [t.value])
+            if inv:
+                p = Path("inv", [p])
+        mods = {("*", None): "star", ("+", None): "plus", ("?", None): "opt"}
+        m = self.lx.peek()
+        if m in mods:
+            self.lx.next()
+            p = Path(mods[m], [p])
+        return p
+
     def _triples_block(self, g: Group, graph: Term | None = None) -> None:
         s = self._term()
         while True:
-            p = self._term()
+            p = self._path_or_term()
             while True:
                 o = self._term()
                 g.patterns.append(TriplePattern(s, p, o, graph=graph))
@@ -735,6 +832,38 @@ def _fresh(prefix: str) -> str:
     return f"_{prefix}{_COUNTER[0]}"
 
 
+def _transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Distinct (subject, object) pairs connected by ≥1 step of ``edges``
+    — pointer-doubling (reach ∪ reach⋈reach), so a diameter-d graph
+    converges in ⌈log₂ d⌉ rounds (max_iter 20 covers diameter 2^20).
+    Each round ends in an eager ``localCheckpoint``: iterative DataFrames
+    otherwise double their lineage every round until Catalyst OOMs on
+    plan strings alone (same fix as functions.dedup.connected_components).
+    Evaluation is therefore EAGER — ArbitraryLengthPath has no
+    fixed-depth Catalyst plan."""
+    reach = edges.distinct().localCheckpoint(eager=True)
+    n = reach.count()
+    for _ in range(max_iter):
+        nxt = (
+            reach.alias("_f")
+            .join(reach.alias("_e"), F.col("_f.object") == F.col("_e.subject"))
+            .select(
+                F.col("_f.subject").alias("subject"),
+                F.col("_e.object").alias("object"),
+            )
+            .unionByName(reach)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n:
+            return reach
+        reach, n = nxt, n_nxt
+    raise RuntimeError(
+        f"property-path closure did not converge in {max_iter} rounds"
+    )
+
+
 def _compat_cond(shared: list[str], fuzzy: list[str]):
     """SPARQL compatible-mapping join condition over frames aliased _l/_r:
     on ``fuzzy`` (maybe-unbound) columns an unbound (null) value is
@@ -779,6 +908,8 @@ class _Planner:
     def _pattern_df(self, tp: TriplePattern) -> DataFrame:
         if tp.s.kind == "quoted":
             return self._quoted_pattern_df(tp)
+        if tp.p.kind == "path":
+            return self._path_pattern_df(tp)
         df = self._dataset_scope(self.ds.triples, tp)
         cols = {"subject": tp.s, "predicate": tp.p, "object": tp.o}
         if tp.graph is not None:
@@ -815,6 +946,93 @@ class _Planner:
                 df = df.where(F.col("graph").isNotNull())
             cols["graph"] = tp.graph
         return self._bind(df, cols)
+
+    # -- property paths ----------------------------------------------------
+
+    def _path_pattern_df(self, tp: TriplePattern) -> DataFrame:
+        """SPARQL 1.1 property-path pattern → (subject, object) bindings.
+
+        Semantics follow the spec's algebra: ``link``/``inv``/``seq``/
+        ``alt`` keep BAG semantics (one row per route, like the
+        triple-pattern translation), while ``plus``/``star``/``opt``
+        (ArbitraryLengthPath / ZeroOrOnePath) are DISTINCT pair sets.
+        Zero-length paths relate every node of the scoped graph to itself
+        (approximated as the distinct subjects ∪ objects), plus any bound
+        endpoint term, which the spec relates to itself even when absent
+        from the graph."""
+        if tp.graph is not None and tp.graph.kind == "var":
+            raise SparqlUnsupported("property path inside GRAPH ?var")
+        rel = self._dataset_scope(self.ds.triples, tp)
+        if tp.graph is not None:
+            if "graph" not in rel.columns:
+                rel = rel.where(F.lit(False))
+            else:
+                rel = rel.where(F.col("graph") == tp.graph.value)
+        rel = rel.select("subject", "predicate", "object")
+        pairs = self._path_pairs(tp.p.value, rel)
+        if tp.p.value.op in ("star", "opt"):
+            extras = sorted(
+                {
+                    str(t.value)
+                    for t in (tp.s, tp.o)
+                    if t.kind in ("iri", "literal", "num")
+                }
+            )
+            if extras:
+                ex_df = rel.sparkSession.createDataFrame(
+                    [(v, v) for v in extras], "subject string, object string"
+                )
+                pairs = pairs.unionByName(ex_df).distinct()
+        return self._bind(pairs, {"subject": tp.s, "object": tp.o})
+
+    def _path_pairs(self, p: Path, rel: DataFrame) -> DataFrame:
+        if p.op == "link":
+            return rel.where(F.col("predicate") == p.items[0]).select(
+                "subject", "object"
+            )
+        if p.op == "inv":
+            c = self._path_pairs(p.items[0], rel)
+            return c.select(
+                F.col("object").alias("subject"), F.col("subject").alias("object")
+            )
+        if p.op == "seq":
+            cur = self._path_pairs(p.items[0], rel)
+            for nxt in p.items[1:]:
+                r = self._path_pairs(nxt, rel)
+                cur = (
+                    cur.alias("_pl")
+                    .join(
+                        r.alias("_pr"),
+                        F.col("_pl.object") == F.col("_pr.subject"),
+                    )
+                    .select(
+                        F.col("_pl.subject").alias("subject"),
+                        F.col("_pr.object").alias("object"),
+                    )
+                )
+            return cur
+        if p.op == "alt":
+            out = self._path_pairs(p.items[0], rel)
+            for nxt in p.items[1:]:
+                out = out.unionByName(self._path_pairs(nxt, rel))
+            return out
+        if p.op in ("plus", "star", "opt"):
+            base = self._path_pairs(p.items[0], rel).distinct()
+            if p.op == "opt":
+                return base.unionByName(self._path_nodes(rel)).distinct()
+            closure = _transitive_closure(base)
+            if p.op == "star":
+                closure = closure.unionByName(self._path_nodes(rel)).distinct()
+            return closure
+        raise SparqlUnsupported(f"property-path op {p.op!r}")
+
+    def _path_nodes(self, rel: DataFrame) -> DataFrame:
+        """Zero-length path pairs: every node of the scoped graph paired
+        with itself."""
+        nodes = rel.select("subject").unionByName(
+            rel.select(F.col("object").alias("subject"))
+        ).distinct()
+        return nodes.select("subject", F.col("subject").alias("object"))
 
     def _bind(self, df: DataFrame, cols: dict[str, Term]) -> DataFrame:
         select: dict[str, Column] = {}

@@ -656,3 +656,119 @@ def test_expression_exists_inherits_graph_context(dataset):
         (_ds("DS2"), "none"),
         (_ds("DS3"), "risk"),
     ]
+
+
+# -- SPARQL 1.1 property paths ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def path_ds(spark) -> SparqlDataset:
+    t = RDF + "type"
+    sub = RDFS + "subClassOf"
+    triples = [
+        (f"{EX}A", sub, f"{EX}B"),
+        (f"{EX}B", sub, f"{EX}C"),
+        (f"{EX}C", sub, f"{EX}D"),
+        (f"{EX}x", t, f"{EX}A"),
+        (f"{EX}y", t, f"{EX}C"),
+        (f"{EX}x", f"{EX}knows", f"{EX}y"),
+        (f"{EX}y", f"{EX}knows", f"{EX}z"),
+    ]
+    return SparqlDataset(
+        triples=spark.createDataFrame(
+            triples, "subject string, predicate string, object string"
+        )
+    )
+
+
+def _pairs(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_path_plus_transitive(path_ds):
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?c ?d WHERE { ?c rdfs:subClassOf+ ?d }"""))
+    assert got == {
+        (f"{EX}A", f"{EX}B"), (f"{EX}A", f"{EX}C"), (f"{EX}A", f"{EX}D"),
+        (f"{EX}B", f"{EX}C"), (f"{EX}B", f"{EX}D"), (f"{EX}C", f"{EX}D"),
+    }
+
+
+def test_path_star_bound_subject(path_ds):
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?d WHERE { ex:A rdfs:subClassOf* ?d }"""))
+    assert got == {(f"{EX}A",), (f"{EX}B",), (f"{EX}C",), (f"{EX}D",)}
+
+
+def test_path_star_bound_term_absent_from_graph(path_ds):
+    # zero-length: a bound term relates to itself even when absent
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?d WHERE { ex:Nowhere rdfs:subClassOf* ?d }"""))
+    assert got == {(f"{EX}Nowhere",)}
+
+
+def test_path_sequence_type_ancestors(path_ds):
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?i ?cls WHERE { ?i rdf:type/rdfs:subClassOf+ ?cls }"""))
+    assert got == {
+        (f"{EX}x", f"{EX}B"), (f"{EX}x", f"{EX}C"), (f"{EX}x", f"{EX}D"),
+        (f"{EX}y", f"{EX}D"),
+    }
+
+
+def test_path_inverse(path_ds):
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?cls ?i WHERE { ?cls ^rdf:type ?i }"""))
+    assert got == {(f"{EX}A", f"{EX}x"), (f"{EX}C", f"{EX}y")}
+
+
+def test_path_alternation(path_ds):
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?s ?o WHERE { ?s (rdf:type|ex:knows) ?o }"""))
+    assert got == {
+        (f"{EX}x", f"{EX}A"), (f"{EX}y", f"{EX}C"),
+        (f"{EX}x", f"{EX}y"), (f"{EX}y", f"{EX}z"),
+    }
+
+
+def test_path_zero_or_one(path_ds):
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:x ex:knows? ?o }"""))
+    assert got == {(f"{EX}x",), (f"{EX}y",)}
+
+
+def test_path_inverse_star_descendants(path_ds):
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?c WHERE { ex:D ^rdfs:subClassOf+ ?c }"""))
+    assert got == {(f"{EX}A",), (f"{EX}B",), (f"{EX}C",)}
+
+
+def test_path_join_with_plain_pattern(path_ds):
+    # path bindings join with ordinary patterns like any other frame
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?i ?peer WHERE {
+            ?i rdf:type/rdfs:subClassOf* ex:C .
+            ?i ex:knows ?peer .
+        }"""))
+    assert got == {(f"{EX}x", f"{EX}y"), (f"{EX}y", f"{EX}z")}
+
+
+def test_path_unsupported_forms(path_ds):
+    with pytest.raises(SparqlUnsupported, match="negated"):
+        sparql_df(path_ds, PROLOGUE + "SELECT ?s WHERE { ?s !rdf:type ?o }")
+    with pytest.raises(SparqlParseError, match="IRI"):
+        sparql_df(path_ds, PROLOGUE + "SELECT ?s WHERE { ?s (?p)+ ?o }")
+
+
+def test_path_inside_graph_constant(dataset):
+    got = _pairs(sparql_df(dataset, PROLOGUE + """
+        SELECT ?s ?o WHERE {
+            GRAPH <http://example.org/graph/g2> { ?s dcat:theme|dct:title ?o }
+        }"""))
+    assert got == {(_ds("DS3"), _theme("Risk"))}
+
+
+def test_path_inside_graph_var_unsupported(dataset):
+    with pytest.raises(SparqlUnsupported, match="GRAPH"):
+        sparql_df(dataset, PROLOGUE + """
+            SELECT ?s WHERE { GRAPH ?g { ?s dcat:theme/dct:title ?o } }""")
