@@ -332,10 +332,12 @@ class _Lex:
                 cut = lex.rindex("/")
                 self.i = i + cut
                 return ("pname", lex[:cut])
-            if lex.endswith("/"):
-                # a trailing '/' before a non-pname token (e.g. the '^' of
-                # ex:repo/^ex:repo) is the sequence operator, not part of
-                # the local name
+            if lex.endswith("/") and end < self.n and t[end] in "^(<!":
+                # a trailing '/' directly before a path-element starter
+                # (the '^' of ex:repo/^ex:repo, '(', '<', '!') is the
+                # sequence operator, not part of the local name; before
+                # anything else (whitespace, '.', ';') the slash stays in
+                # the pname (ex:doc/ is a legitimate IRI in this dialect)
                 cut = len(lex.rstrip("/"))
                 self.i = i + cut
                 return ("pname", lex[:cut])
@@ -832,6 +834,54 @@ def _fresh(prefix: str) -> str:
     return f"_{prefix}{_COUNTER[0]}"
 
 
+def _path_nullable(p: Path) -> bool:
+    """Can the path match the zero-length (empty) route?"""
+    if p.op in ("star", "opt"):
+        return True
+    if p.op == "inv":
+        return _path_nullable(p.items[0])
+    if p.op == "alt":
+        return any(_path_nullable(i) for i in p.items)
+    if p.op == "seq":
+        return all(_path_nullable(i) for i in p.items)
+    return False
+
+
+def _seeded_closure(
+    edges: DataFrame, seed: str, max_iter: int = 256
+) -> DataFrame:
+    """(seed, y) pairs for every y reachable from ``seed`` in ≥1 step —
+    breadth-first frontier expansion, each round touching only edges out
+    of the current frontier (O(reachable) work vs the all-pairs
+    closure's O(V·d)). Rounds are diameter-bounded; per-round eager
+    ``localCheckpoint`` keeps the plan O(1) (see _transitive_closure)."""
+    reach = (
+        edges.where(F.col("subject") == seed)
+        .select("object")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = reach.count()
+    for _ in range(max_iter):
+        nxt = (
+            reach.alias("_f")
+            .join(edges.alias("_e"), F.col("_f.object") == F.col("_e.subject"))
+            .select(F.col("_e.object").alias("object"))
+            .unionByName(reach)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n:
+            return reach.select(
+                F.lit(seed).alias("subject"), F.col("object")
+            )
+        reach, n = nxt, n_nxt
+    raise RuntimeError(
+        f"seeded property-path closure did not converge in {max_iter} rounds"
+    )
+
+
 def _transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Distinct (subject, object) pairs connected by ≥1 step of ``edges``
     — pointer-doubling (reach ∪ reach⋈reach), so a diameter-d graph
@@ -957,9 +1007,14 @@ class _Planner:
         triple-pattern translation), while ``plus``/``star``/``opt``
         (ArbitraryLengthPath / ZeroOrOnePath) are DISTINCT pair sets.
         Zero-length paths relate every node of the scoped graph to itself
-        (approximated as the distinct subjects ∪ objects), plus any bound
-        endpoint term, which the spec relates to itself even when absent
-        from the graph."""
+        (approximated as the distinct subjects ∪ objects) — plus any
+        bound endpoint term, which the spec relates to itself even when
+        absent from the graph. Bound endpoints are threaded down the path
+        algebra as SEEDS (through inv/alt and across nullable seq
+        prefixes/suffixes), so nested closures both honour the reflexive
+        case (review finding: ``ex:X (ex:p*|ex:q) ?o`` must bind
+        ?o = ex:X) and, for top closures, evaluate as a seeded frontier
+        search over reachable edges instead of an all-pairs closure."""
         if tp.graph is not None and tp.graph.kind == "var":
             raise SparqlUnsupported("property path inside GRAPH ?var")
         rel = self._dataset_scope(self.ds.triples, tp)
@@ -969,60 +1024,131 @@ class _Planner:
             else:
                 rel = rel.where(F.col("graph") == tp.graph.value)
         rel = rel.select("subject", "predicate", "object")
-        pairs = self._path_pairs(tp.p.value, rel)
-        if tp.p.value.op in ("star", "opt"):
-            extras = sorted(
-                {
-                    str(t.value)
-                    for t in (tp.s, tp.o)
-                    if t.kind in ("iri", "literal", "num")
-                }
-            )
-            if extras:
-                ex_df = rel.sparkSession.createDataFrame(
-                    [(v, v) for v in extras], "subject string, object string"
-                )
-                pairs = pairs.unionByName(ex_df).distinct()
+
+        def seed(t: Term) -> str | None:
+            return str(t.value) if t.kind in ("iri", "literal", "num") else None
+
+        s_c, o_c = seed(tp.s), seed(tp.o)
+        pairs = self._path_pairs(
+            tp.p.value, rel, rs=s_c, ro=o_c, zs=s_c, zo=o_c
+        )
         return self._bind(pairs, {"subject": tp.s, "object": tp.o})
 
-    def _path_pairs(self, p: Path, rel: DataFrame) -> DataFrame:
+    def _path_pairs(
+        self,
+        p: Path,
+        rel: DataFrame,
+        rs: str | None = None,
+        ro: str | None = None,
+        zs: str | None = None,
+        zo: str | None = None,
+    ) -> DataFrame:
+        """Evaluate a path to (subject, object) pairs over ``rel``.
+
+        Two seed kinds, both optional per endpoint: ``rs``/``ro``
+        RESTRICT — the element's own endpoint IS the pattern's bound
+        endpoint (first/last seq element, every alt branch), so pairs not
+        anchored there are provably filtered later and links/closures may
+        prune or frontier-search early; ``zs``/``zo`` only AUGMENT
+        zero-length sets — they also cross nullable seq boundaries, where
+        restriction would be unsound (the inner element's subjects come
+        from the previous element's objects, not just the seed — review
+        finding on the first cut of this code)."""
         if p.op == "link":
-            return rel.where(F.col("predicate") == p.items[0]).select(
-                "subject", "object"
-            )
+            out = rel.where(F.col("predicate") == p.items[0])
+            if rs is not None:
+                out = out.where(F.col("subject") == rs)
+            if ro is not None:
+                out = out.where(F.col("object") == ro)
+            return out.select("subject", "object")
         if p.op == "inv":
-            c = self._path_pairs(p.items[0], rel)
+            c = self._path_pairs(p.items[0], rel, rs=ro, ro=rs, zs=zo, zo=zs)
             return c.select(
                 F.col("object").alias("subject"), F.col("subject").alias("object")
             )
         if p.op == "seq":
-            cur = self._path_pairs(p.items[0], rel)
-            for nxt in p.items[1:]:
-                r = self._path_pairs(nxt, rel)
-                cur = (
-                    cur.alias("_pl")
-                    .join(
-                        r.alias("_pr"),
-                        F.col("_pl.object") == F.col("_pr.subject"),
-                    )
-                    .select(
-                        F.col("_pl.subject").alias("subject"),
-                        F.col("_pr.object").alias("object"),
-                    )
+            items = p.items
+            cur = None
+            for idx, elt in enumerate(items):
+                r = self._path_pairs(
+                    elt,
+                    rel,
+                    rs=rs if idx == 0 else None,
+                    ro=ro if idx == len(items) - 1 else None,
+                    zs=zs
+                    if all(_path_nullable(e) for e in items[:idx])
+                    else None,
+                    zo=zo
+                    if all(_path_nullable(e) for e in items[idx + 1 :])
+                    else None,
                 )
+                if cur is None:
+                    cur = r
+                else:
+                    cur = (
+                        cur.alias("_pl")
+                        .join(
+                            r.alias("_pr"),
+                            F.col("_pl.object") == F.col("_pr.subject"),
+                        )
+                        .select(
+                            F.col("_pl.subject").alias("subject"),
+                            F.col("_pr.object").alias("object"),
+                        )
+                    )
             return cur
         if p.op == "alt":
-            out = self._path_pairs(p.items[0], rel)
+            out = self._path_pairs(p.items[0], rel, rs, ro, zs, zo)
             for nxt in p.items[1:]:
-                out = out.unionByName(self._path_pairs(nxt, rel))
+                out = out.unionByName(
+                    self._path_pairs(nxt, rel, rs, ro, zs, zo)
+                )
             return out
         if p.op in ("plus", "star", "opt"):
+            # the child feeds a closure: restricting it would drop the
+            # non-seed hops, so it gets no seeds at all
             base = self._path_pairs(p.items[0], rel).distinct()
+            zseeds = sorted({s for s in (zs, zo, rs, ro) if s is not None})
+            zero_seeds = (
+                rel.sparkSession.createDataFrame(
+                    [(v, v) for v in zseeds], "subject string, object string"
+                )
+                if zseeds
+                else None
+            )
             if p.op == "opt":
-                return base.unionByName(self._path_nodes(rel)).distinct()
+                out = base.unionByName(self._path_nodes(rel))
+                if zero_seeds is not None:
+                    out = out.unionByName(zero_seeds)
+                return out.distinct()
+            if rs is not None or ro is not None:
+                # a bound endpoint turns the all-pairs closure into a
+                # frontier search over only the reachable edges — and the
+                # zero-length set collapses to the seed pairs (the final
+                # _bind filters this endpoint to the seed anyway)
+                fwd = rs is not None
+                edges = (
+                    base
+                    if fwd
+                    else base.select(
+                        F.col("object").alias("subject"),
+                        F.col("subject").alias("object"),
+                    )
+                )
+                reached = _seeded_closure(edges, rs if fwd else ro)
+                closure = reached if fwd else reached.select(
+                    F.col("object").alias("subject"),
+                    F.col("subject").alias("object"),
+                )
+                if p.op == "star":
+                    closure = closure.unionByName(zero_seeds).distinct()
+                return closure
             closure = _transitive_closure(base)
             if p.op == "star":
-                closure = closure.unionByName(self._path_nodes(rel)).distinct()
+                closure = closure.unionByName(self._path_nodes(rel))
+                if zero_seeds is not None:
+                    closure = closure.unionByName(zero_seeds)
+                closure = closure.distinct()
             return closure
         raise SparqlUnsupported(f"property-path op {p.op!r}")
 

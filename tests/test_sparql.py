@@ -772,3 +772,62 @@ def test_path_inside_graph_var_unsupported(dataset):
     with pytest.raises(SparqlUnsupported, match="GRAPH"):
         sparql_df(dataset, PROLOGUE + """
             SELECT ?s WHERE { GRAPH ?g { ?s dcat:theme/dct:title ?o } }""")
+
+
+def test_path_nested_closure_reflexive(path_ds):
+    # review finding: zero-length must bind even when the closure is NOT
+    # the outermost op (alt / seq of nullables) and the bound subject is
+    # absent from the graph
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:Nowhere (rdfs:subClassOf*|ex:knows) ?o }"""))
+    assert got == {(f"{EX}Nowhere",)}
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:Nowhere ex:knows?/ex:knows? ?o }"""))
+    assert got == {(f"{EX}Nowhere",)}
+
+
+def test_path_seq_nullable_prefix_not_overrestricted(spark):
+    # review finding (second cut): a seed crossing a nullable seq prefix
+    # must NOT restrict the inner closure — A's p-successors' q+ routes
+    # must survive alongside A's own
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [
+                (f"{EX}A", f"{EX}p", f"{EX}B"),
+                (f"{EX}B", f"{EX}q", f"{EX}C"),
+                (f"{EX}A", f"{EX}q", f"{EX}D"),
+            ],
+            "subject string, predicate string, object string",
+        )
+    )
+    got = _pairs(sparql_df(ds, PROLOGUE + """
+        SELECT ?y WHERE { ex:A ex:p?/ex:q+ ?y }"""))
+    assert got == {(f"{EX}C",), (f"{EX}D",)}
+
+
+def test_path_seeded_closure_matches_unseeded(path_ds):
+    # bound-subject frontier search == unseeded closure filtered
+    all_pairs = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?c ?d WHERE { ?c rdfs:subClassOf+ ?d }"""))
+    seeded = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?d WHERE { ex:B rdfs:subClassOf+ ?d }"""))
+    assert seeded == {(d,) for c, d in all_pairs if c == f"{EX}B"}
+    # bound-object (reverse) frontier
+    seeded_o = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?c WHERE { ?c rdfs:subClassOf+ ex:D }"""))
+    assert seeded_o == {(c,) for c, d in all_pairs if d == f"{EX}D"}
+
+
+def test_trailing_slash_pname_still_a_term(spark):
+    # review finding: ex:doc/ (local name ending in '/') must stay one
+    # pname in subject/object position — only a following path-element
+    # starter turns the slash into the sequence operator
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [(f"{EX}s1", f"{EX}p", f"{EX}doc/")],
+            "subject string, predicate string, object string",
+        )
+    )
+    got = _pairs(sparql_df(ds, PROLOGUE + """
+        SELECT ?s WHERE { ?s ex:p ex:doc/ . }"""))
+    assert got == {(f"{EX}s1",)}
