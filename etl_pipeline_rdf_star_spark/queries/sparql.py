@@ -332,12 +332,23 @@ class _Lex:
                 cut = lex.rindex("/")
                 self.i = i + cut
                 return ("pname", lex[:cut])
-            if lex.endswith("/") and end < self.n and t[end] in "^(<!":
-                # a trailing '/' directly before a path-element starter
-                # (the '^' of ex:repo/^ex:repo, '(', '<', '!') is the
-                # sequence operator, not part of the local name; before
-                # anything else (whitespace, '.', ';') the slash stays in
-                # the pname (ex:doc/ is a legitimate IRI in this dialect)
+            if lex.endswith("/") and end < self.n and (
+                t[end] in "^(<!"
+                or re.match(
+                    r"[ \t\r\n]+(?:[<(^!]|[A-Za-z_][A-Za-z0-9_\-.]*:)",
+                    t[end:],
+                )
+            ):
+                # a trailing '/' before a path-element starter — directly
+                # (the '^' of ex:repo/^ex:repo) or across whitespace
+                # ('ex:a/ ex:b', review finding) — is the sequence
+                # operator, not part of the local name; before a
+                # statement delimiter ('.', ';', ',', '}') the slash
+                # stays in the pname (ex:doc/ is a legitimate IRI in
+                # this dialect). Ambiguous corner: a trailing-slash
+                # SUBJECT directly followed by a pname predicate reads
+                # as a path and errors loudly — write the full <IRI>
+                # there.
                 cut = len(lex.rstrip("/"))
                 self.i = i + cut
                 return ("pname", lex[:cut])
@@ -835,10 +846,12 @@ def _fresh(prefix: str) -> str:
 
 
 def _path_nullable(p: Path) -> bool:
-    """Can the path match the zero-length (empty) route?"""
+    """Can the path match the zero-length (empty) route? NB ``plus`` is
+    nullable when its CHILD is — one ALP iteration of a nullable child
+    matches the empty route, making (q?)+ ≡ q* (review finding)."""
     if p.op in ("star", "opt"):
         return True
-    if p.op == "inv":
+    if p.op in ("inv", "plus"):
         return _path_nullable(p.items[0])
     if p.op == "alt":
         return any(_path_nullable(i) for i in p.items)
@@ -848,38 +861,36 @@ def _path_nullable(p: Path) -> bool:
 
 
 def _seeded_closure(
-    edges: DataFrame, seed: str, max_iter: int = 256
+    edges: DataFrame, seed: str, bfs_rounds: int = 32
 ) -> DataFrame:
-    """(seed, y) pairs for every y reachable from ``seed`` in ≥1 step —
-    breadth-first frontier expansion, each round touching only edges out
-    of the current frontier (O(reachable) work vs the all-pairs
-    closure's O(V·d)). Rounds are diameter-bounded; per-round eager
-    ``localCheckpoint`` keeps the plan O(1) (see _transitive_closure)."""
+    """(seed, y) pairs for every y reachable from ``seed`` in ≥1 step.
+
+    Semi-naive BFS: each round steps only the NEWLY discovered frontier
+    (O(reachable edges) total work), per-round eager ``localCheckpoint``
+    keeping the plan O(1). A graph deeper than ``bfs_rounds`` falls back
+    to the pointer-doubling all-pairs closure filtered to the seed
+    (⌈log₂ d⌉ rounds up to diameter 2^20) rather than raising — BFS
+    round count is diameter-bound, and deep chains are plausible in
+    lineage data (review finding)."""
     reach = (
         edges.where(F.col("subject") == seed)
         .select("object")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n = reach.count()
-    for _ in range(max_iter):
-        nxt = (
-            reach.alias("_f")
+    frontier = reach
+    for _ in range(bfs_rounds):
+        if not frontier.limit(1).count():
+            return reach.select(F.lit(seed).alias("subject"), F.col("object"))
+        stepped = (
+            frontier.alias("_f")
             .join(edges.alias("_e"), F.col("_f.object") == F.col("_e.subject"))
             .select(F.col("_e.object").alias("object"))
-            .unionByName(reach)
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        n_nxt = nxt.count()
-        if n_nxt == n:
-            return reach.select(
-                F.lit(seed).alias("subject"), F.col("object")
-            )
-        reach, n = nxt, n_nxt
-    raise RuntimeError(
-        f"seeded property-path closure did not converge in {max_iter} rounds"
-    )
+        frontier = stepped.subtract(reach).localCheckpoint(eager=True)
+        reach = reach.unionByName(frontier).localCheckpoint(eager=True)
+    return _transitive_closure(edges).where(F.col("subject") == seed)
 
 
 def _transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -1108,6 +1119,10 @@ class _Planner:
             # the child feeds a closure: restricting it would drop the
             # non-seed hops, so it gets no seeds at all
             base = self._path_pairs(p.items[0], rel).distinct()
+            if p.op == "plus" and _path_nullable(p.items[0]):
+                # one ALP iteration of a nullable child matches the empty
+                # route, so (q?)+ ≡ q* (review finding)
+                p = Path("star", p.items)
             zseeds = sorted({s for s in (zs, zo, rs, ro) if s is not None})
             zero_seeds = (
                 rel.sparkSession.createDataFrame(

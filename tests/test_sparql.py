@@ -831,3 +831,39 @@ def test_trailing_slash_pname_still_a_term(spark):
     got = _pairs(sparql_df(ds, PROLOGUE + """
         SELECT ?s WHERE { ?s ex:p ex:doc/ . }"""))
     assert got == {(f"{EX}s1",)}
+
+
+def test_path_plus_of_nullable_is_star(path_ds):
+    # (q?)+ ≡ q*: one ALP iteration of a nullable child matches the
+    # empty route (review finding)
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:Nowhere (ex:knows?)+ ?o }"""))
+    assert got == {(f"{EX}Nowhere",)}
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:x (ex:knows?)+ ?o }"""))
+    assert got == {(f"{EX}x",), (f"{EX}y",), (f"{EX}z",)}
+
+
+def test_path_sequence_spaced_slash(path_ds):
+    # 'ex:a/ ex:b' (operator followed by whitespace) parses as a
+    # sequence (review finding)
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?i ?cls WHERE { ?i rdf:type/ rdfs:subClassOf ?cls }"""))
+    assert got == {(f"{EX}x", f"{EX}B"), (f"{EX}y", f"{EX}D")}
+
+
+def test_path_seeded_closure_deep_chain(spark):
+    # a chain deeper than the BFS round budget falls back to the
+    # pointer-doubling closure instead of raising (review finding)
+    n = 300
+    edges = [
+        (f"{EX}n{i}", f"{EX}p", f"{EX}n{i+1}") for i in range(n)
+    ]
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            edges, "subject string, predicate string, object string"
+        )
+    )
+    got = sparql_df(ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:n0 ex:p+ ?o }""").count()
+    assert got == n
