@@ -332,26 +332,12 @@ class _Lex:
                 cut = lex.rindex("/")
                 self.i = i + cut
                 return ("pname", lex[:cut])
-            if lex.endswith("/") and end < self.n and (
-                t[end] in "^(<!"
-                or re.match(
-                    r"[ \t\r\n]+(?:[<(^!]|[A-Za-z_][A-Za-z0-9_\-.]*:)",
-                    t[end:],
-                )
-            ):
-                # a trailing '/' before a path-element starter — directly
-                # (the '^' of ex:repo/^ex:repo) or across whitespace
-                # ('ex:a/ ex:b', review finding) — is the sequence
-                # operator, not part of the local name; before a
-                # statement delimiter ('.', ';', ',', '}') the slash
-                # stays in the pname (ex:doc/ is a legitimate IRI in
-                # this dialect). Ambiguous corner: a trailing-slash
-                # SUBJECT directly followed by a pname predicate reads
-                # as a path and errors loudly — write the full <IRI>
-                # there.
-                cut = len(lex.rstrip("/"))
-                self.i = i + cut
-                return ("pname", lex[:cut])
+            # a trailing '/' is kept in the pname here (ex:doc/ is a
+            # legitimate IRI in this dialect); whether it is really the
+            # path-sequence operator is a GRAMMAR-position question the
+            # lexer cannot answer — _path_elt decides it in predicate
+            # position (review finding: a context-free split here broke
+            # trailing-slash pnames in subject/object position)
             self.i = end
             return ("pname", lex)
         m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", t[i:])
@@ -377,6 +363,9 @@ class _Parser:
         # so expression-level EXISTS groups inherit it (SPARQL semantics
         # of GRAPH g { BIND(IF(EXISTS { ... }, ...) AS ?x) })
         self._graph_ctx: Term | None = None
+        # set by _path_elt when a trailing-slash pname (ex:a/) acts as a
+        # sequence operator; consumed by _path_seq's continuation loop
+        self._pending_seq = False
 
     def parse(self) -> SelectQuery:
         while True:
@@ -556,15 +545,31 @@ class _Parser:
         """Predicate position: a plain term (var/iri — the zero-regression
         fast path) or a SPARQL 1.1 property path. NB pname local parts may
         legally contain ``/`` in this dialect (reference template compat:
-        ``ex:BatchStatus/pending``), so pname path SEQUENCES need spaces
-        around ``/``; bracketed IRIs compose either way."""
+        ``ex:BatchStatus/pending``), so an interior ``/`` in a pname path
+        SEQUENCE needs a second ``:`` (rdf:type/rdfs:subClassOf) or spaces;
+        a TRAILING ``/`` (ex:a/ ex:b) is resolved here, in path position,
+        where a following path-element starter marks it as the sequence
+        operator — subject/object pnames keep their slashes untouched."""
         nxt = self.lx.peek()
         if nxt in self._PATH_START:
             return Term("path", self._path_alt())
+        if self._peek_trailing_slash_pname():
+            p = self._path_alt(None)
+            if p.op == "link":  # no continuation: plain trailing-slash IRI
+                return Term("iri", p.items[0])
+            return Term("path", p)
         t = self._term()
         if t.kind == "iri" and self.lx.peek() in self._PATH_OPS:
             return Term("path", self._path_alt(first=Path("link", [t.value])))
         return t  # var predicate or plain iri
+
+    def _peek_trailing_slash_pname(self) -> bool:
+        nxt = self.lx.peek()
+        return (
+            nxt is not None
+            and nxt[0] == "pname"
+            and nxt[1].split(":", 1)[1].endswith("/")
+        )
 
     def _path_alt(self, first: Path | None = None) -> Path:
         items = [self._path_seq(first)]
@@ -575,8 +580,11 @@ class _Parser:
 
     def _path_seq(self, first: Path | None) -> Path:
         items = [self._path_elt(first)]
-        while self.lx.peek() == ("/", None):
-            self.lx.next()
+        while self.lx.peek() == ("/", None) or self._pending_seq:
+            if self._pending_seq:
+                self._pending_seq = False  # slash already inside the pname
+            else:
+                self.lx.next()
             items.append(self._path_elt(None))
         return items[0] if len(items) == 1 else Path("seq", items)
 
@@ -594,6 +602,23 @@ class _Parser:
                 self.lx.expect(")")
             elif self.lx.peek() == ("!", None):
                 raise SparqlUnsupported("negated property sets (!) in paths")
+            elif self._peek_trailing_slash_pname():
+                # ex:a/ in PATH position: a following path-element starter
+                # means the slash is the sequence operator (sets
+                # _pending_seq for _path_seq); otherwise the slash is part
+                # of the IRI. Irreducibly ambiguous corner: a trailing-
+                # slash predicate IRI with a PNAME object reads as a path
+                # and errors loudly — write the full <IRI> there.
+                tok = self.lx.next()
+                nxt = self.lx.peek()
+                if nxt is not None and (
+                    nxt in self._PATH_START
+                    or nxt[0] in ("pname", "iri")
+                ):
+                    p = Path("link", [self._expand(tok[1].rstrip("/"))])
+                    self._pending_seq = True
+                else:
+                    p = Path("link", [self._expand(tok[1])])
             else:
                 t = self._term(allow_quoted=False)
                 if t.kind != "iri":
@@ -867,11 +892,14 @@ def _seeded_closure(
 
     Semi-naive BFS: each round steps only the NEWLY discovered frontier
     (O(reachable edges) total work), per-round eager ``localCheckpoint``
-    keeping the plan O(1). A graph deeper than ``bfs_rounds`` falls back
-    to the pointer-doubling all-pairs closure filtered to the seed
-    (⌈log₂ d⌉ rounds up to diameter 2^20) rather than raising — BFS
-    round count is diameter-bound, and deep chains are plausible in
-    lineage data (review finding)."""
+    keeping the plan O(1). A graph deeper than ``bfs_rounds`` switches to
+    SEEDED pointer-doubling rather than raising — BFS round count is
+    diameter-bound, and deep chains are plausible in lineage data (review
+    finding). The doubled hop relation is restricted to pairs whose
+    source is already known-reachable (sound: every node on a seed path
+    is itself reachable), so the fallback costs O(|reachable component|²)
+    worst case, never an all-pairs closure of the whole graph (review
+    finding), and covers depth ``bfs_rounds · 2^20``."""
     reach = (
         edges.where(F.col("subject") == seed)
         .select("object")
@@ -879,9 +907,13 @@ def _seeded_closure(
         .localCheckpoint(eager=True)
     )
     frontier = reach
+
+    def _done() -> DataFrame:
+        return reach.select(F.lit(seed).alias("subject"), F.col("object"))
+
     for _ in range(bfs_rounds):
         if not frontier.limit(1).count():
-            return reach.select(F.lit(seed).alias("subject"), F.col("object"))
+            return _done()
         stepped = (
             frontier.alias("_f")
             .join(edges.alias("_e"), F.col("_f.object") == F.col("_e.subject"))
@@ -890,7 +922,45 @@ def _seeded_closure(
         )
         frontier = stepped.subtract(reach).localCheckpoint(eager=True)
         reach = reach.unionByName(frontier).localCheckpoint(eager=True)
-    return _transitive_closure(edges).where(F.col("subject") == seed)
+    if not frontier.limit(1).count():
+        return _done()  # converged exactly on the last budgeted round
+
+    def _from_reach() -> DataFrame:
+        # base edges leaving a known-reachable node
+        return edges.join(
+            reach.withColumnRenamed("object", "subject").distinct(),
+            "subject",
+            "left_semi",
+        )
+
+    hop = _from_reach().distinct().localCheckpoint(eager=True)
+    n = reach.count()
+    for _ in range(20):
+        reach = (
+            reach.unionByName(hop.select("object"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = reach.count()
+        if n_new == n:
+            return _done()
+        n = n_new
+        hop = (
+            hop.alias("_f")
+            .join(hop.alias("_e"), F.col("_f.object") == F.col("_e.subject"))
+            .select(
+                F.col("_f.subject").alias("subject"),
+                F.col("_e.object").alias("object"),
+            )
+            .unionByName(hop)
+            .unionByName(_from_reach())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        "seeded property-path closure did not converge "
+        f"within depth {bfs_rounds} · 2^20"
+    )
 
 
 def _transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:

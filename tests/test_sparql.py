@@ -853,17 +853,74 @@ def test_path_sequence_spaced_slash(path_ds):
 
 
 def test_path_seeded_closure_deep_chain(spark):
-    # a chain deeper than the BFS round budget falls back to the
-    # pointer-doubling closure instead of raising (review finding)
-    n = 300
-    edges = [
-        (f"{EX}n{i}", f"{EX}p", f"{EX}n{i+1}") for i in range(n)
-    ]
+    # a chain deeper than the BFS round budget (32) falls back to SEEDED
+    # pointer-doubling instead of raising (review finding); n=40 crosses
+    # the budget without burning CI wall-clock (review finding). The side
+    # branch unreachable from the seed must stay out of the result AND out
+    # of the doubled hop relation (reach-restricted fallback).
+    n = 40
+    edges = [(f"{EX}n{i}", f"{EX}p", f"{EX}n{i+1}") for i in range(n)]
+    edges += [(f"{EX}m{i}", f"{EX}p", f"{EX}m{i+1}") for i in range(5)]
     ds = SparqlDataset(
         triples=spark.createDataFrame(
             edges, "subject string, predicate string, object string"
         )
     )
-    got = sparql_df(ds, PROLOGUE + """
-        SELECT ?o WHERE { ex:n0 ex:p+ ?o }""").count()
-    assert got == n
+    got = _pairs(sparql_df(ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:n0 ex:p+ ?o }"""))
+    assert got == {(f"{EX}n{i}",) for i in range(1, n + 1)}
+
+
+def test_path_seeded_closure_converges_on_last_budgeted_round(spark):
+    # depth exactly == the BFS budget: the loop exhausts with an empty
+    # frontier and must return the finished result, not recompute via the
+    # fallback (review finding)
+    from etl_pipeline_rdf_star_spark.queries.sparql import _seeded_closure
+
+    n = 32
+    edges = spark.createDataFrame(
+        [(f"{EX}n{i}", f"{EX}n{i+1}") for i in range(n)],
+        "subject string, object string",
+    )
+    got = {
+        r.object
+        for r in _seeded_closure(edges, f"{EX}n0", bfs_rounds=n).collect()
+    }
+    assert got == {f"{EX}n{i}" for i in range(1, n + 1)}
+
+
+def test_trailing_slash_pname_subject_with_spaced_predicate(spark):
+    # review finding: 'ex:doc/ ex:p ?o' — a trailing-slash pname SUBJECT
+    # followed by a spaced pname predicate — must keep the slash in the
+    # subject; only PATH position turns it into the sequence operator
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [(f"{EX}doc/", f"{EX}p", f"{EX}o1")],
+            "subject string, predicate string, object string",
+        )
+    )
+    got = _pairs(sparql_df(ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:doc/ ex:p ?o . }"""))
+    assert got == {(f"{EX}o1",)}
+
+
+def test_trailing_slash_pname_whole_predicate(spark):
+    # a trailing-slash pname PREDICATE with a non-path-starter next token
+    # (the variable object) keeps its slash
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [(f"{EX}s1", f"{EX}rel/", f"{EX}o1")],
+            "subject string, predicate string, object string",
+        )
+    )
+    got = _pairs(sparql_df(ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:s1 ex:rel/ ?o . }"""))
+    assert got == {(f"{EX}o1",)}
+
+
+def test_path_sequence_unspaced_inverse_after_slash(path_ds):
+    # 'ex:a/^ex:b' — trailing-slash pname directly followed by a path
+    # starter still composes as a sequence
+    got = _pairs(sparql_df(path_ds, PROLOGUE + """
+        SELECT ?i ?j WHERE { ?i rdf:type/ ^rdf:type ?j }"""))
+    assert {i for i, _ in got} == {f"{EX}x", f"{EX}y"}
