@@ -614,8 +614,11 @@ class _Parser:
                 if nxt is not None and (
                     nxt in self._PATH_START
                     or nxt[0] in ("pname", "iri")
+                    or nxt == ("kw", "a")  # rdf:type is a path element too
                 ):
-                    p = Path("link", [self._expand(tok[1].rstrip("/"))])
+                    # strip exactly ONE slash — ex:a// is the IRI …a/
+                    # followed by the operator
+                    p = Path("link", [self._expand(tok[1][:-1])])
                     self._pending_seq = True
                 else:
                     p = Path("link", [self._expand(tok[1])])
@@ -899,7 +902,8 @@ def _seeded_closure(
     source is already known-reachable (sound: every node on a seed path
     is itself reachable), so the fallback costs O(|reachable component|²)
     worst case, never an all-pairs closure of the whole graph (review
-    finding), and covers depth ``bfs_rounds · 2^20``."""
+    finding), and covers depth ``bfs_rounds + ~2^20`` (hop lengths double
+    per round — the coverages add, they don't multiply)."""
     reach = (
         edges.where(F.col("subject") == seed)
         .select("object")
@@ -926,9 +930,10 @@ def _seeded_closure(
         return _done()  # converged exactly on the last budgeted round
 
     def _from_reach() -> DataFrame:
-        # base edges leaving a known-reachable node
+        # base edges leaving a known-reachable node (reach is maintained
+        # distinct at every assignment — no extra shuffle here)
         return edges.join(
-            reach.withColumnRenamed("object", "subject").distinct(),
+            reach.withColumnRenamed("object", "subject"),
             "subject",
             "left_semi",
         )
@@ -959,7 +964,7 @@ def _seeded_closure(
         )
     raise RuntimeError(
         "seeded property-path closure did not converge "
-        f"within depth {bfs_rounds} · 2^20"
+        f"within depth ~{bfs_rounds} + 2^20"
     )
 
 

@@ -922,5 +922,41 @@ def test_path_sequence_unspaced_inverse_after_slash(path_ds):
     # 'ex:a/^ex:b' — trailing-slash pname directly followed by a path
     # starter still composes as a sequence
     got = _pairs(sparql_df(path_ds, PROLOGUE + """
-        SELECT ?i ?j WHERE { ?i rdf:type/ ^rdf:type ?j }"""))
+        SELECT ?i ?j WHERE { ?i rdf:type/^rdf:type ?j }"""))
     assert {i for i, _ in got} == {f"{EX}x", f"{EX}y"}
+
+
+def test_path_double_slash_strips_exactly_one(spark):
+    # 'ex:a// ex:b' — the IRI …a/ followed by the sequence operator:
+    # exactly ONE trailing slash is the operator (review finding: rstrip
+    # ate both)
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [
+                (f"{EX}s1", f"{EX}a/", f"{EX}mid"),
+                (f"{EX}mid", f"{EX}b", f"{EX}o1"),
+            ],
+            "subject string, predicate string, object string",
+        )
+    )
+    got = _pairs(sparql_df(ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:s1 ex:a// ex:b ?o . }"""))
+    assert got == {(f"{EX}o1",)}
+
+
+def test_path_trailing_slash_before_a_keyword(spark):
+    # 'ex:rel/ a' — the 'a' keyword (rdf:type) is a path element, so the
+    # trailing slash is the sequence operator (review finding)
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [
+                (f"{EX}s1", f"{EX}rel", f"{EX}mid"),
+                (f"{EX}mid", rdf_type, f"{EX}C"),
+            ],
+            "subject string, predicate string, object string",
+        )
+    )
+    got = _pairs(sparql_df(ds, PROLOGUE + """
+        SELECT ?c WHERE { ex:s1 ex:rel/ a ?c . }"""))
+    assert got == {(f"{EX}C",)}
