@@ -1570,6 +1570,22 @@ SELECT x, y FROM walk
 """
 
 
+def q_sparql_negated_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 negated property set (``!(a|ex:x|^ex:y)``) through the
+    front end: all edges EXCEPT the listed forward predicates, unioned
+    with all REVERSED edges except ^ex:repo — exercises the ``a`` keyword
+    member, a multi-member set, and the reverse arm. Bag semantics (one
+    row per matching triple). Oracle: the same NOT IN / <> filters over
+    the asserted-triples relation in DuckDB."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        SELECT ?s ?o WHERE {
+            ?s !(a|ex:contentSha256|ex:commit|^ex:repo) ?o
+        }""")
+
+
 def q_sparql_exists_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expression-level EXISTS (round-3 VERDICT missing #2): the
     batch_queries.rq:561 change-classification shape
@@ -1663,6 +1679,18 @@ WHERE predicate IN ('http://example.org/lang',
     ),
     "sparql_path_reachability": QueryEntry(
         q_sparql_path_reachability, _SPARQL_PATH_REACH_SQL
+    ),
+    "sparql_negated_predicates": QueryEntry(
+        q_sparql_negated_predicates,
+        f"""
+WITH asserted AS ({_ASSERTED_SQL})
+SELECT subject AS s, object AS o FROM asserted
+WHERE predicate NOT IN ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                        'http://example.org/contentSha256',
+                        'http://example.org/commit')
+UNION ALL
+SELECT object AS s, subject AS o FROM asserted
+WHERE predicate <> 'http://example.org/repo'""",
     ),
     "sparql_exists_classification": QueryEntry(
         q_sparql_exists_classification,

@@ -79,7 +79,9 @@ class Path:
     """SPARQL 1.1 property-path AST node (predicate position only).
 
     ``op``: ``link`` (items = [iri str]) | ``inv`` | ``seq`` | ``alt`` |
-    ``plus`` | ``star`` | ``opt`` (items = child Paths)."""
+    ``plus`` | ``star`` | ``opt`` (items = child Paths) | ``neg``
+    (negated property set — items = [forward iris, reverse iris], two
+    lists of strings)."""
 
     op: str
     items: list
@@ -578,6 +580,44 @@ class _Parser:
             items.append(self._path_seq(None))
         return items[0] if len(items) == 1 else Path("alt", items)
 
+    def _neg_prop_set(self) -> tuple[list[str], list[str]]:
+        """PathNegatedPropertySet after the consumed '!': a single
+        PathOneInPropertySet or a parenthesized '|' list of them. Returns
+        (forward iris, reverse iris) — the spec splits the set by the
+        ``^`` marker and unions the two directions."""
+        fwd: list[str] = []
+        rev: list[str] = []
+
+        def one() -> None:
+            inv = False
+            if self.lx.peek() == ("^", None):
+                self.lx.next()
+                inv = True
+            tok = self.lx.next()
+            if tok == ("kw", "a"):
+                iri = RDF_TYPE
+            elif tok is not None and tok[0] == "iri":
+                iri = tok[1]
+            elif tok is not None and tok[0] == "pname":
+                iri = self._expand(tok[1])
+            else:
+                raise SparqlParseError(
+                    f"negated property set expects an IRI, got {tok!r}"
+                )
+            (rev if inv else fwd).append(iri)
+
+        if self.lx.peek() == ("(", None):
+            self.lx.next()
+            if self.lx.peek() != (")", None):
+                one()
+                while self.lx.peek() == ("|", None):
+                    self.lx.next()
+                    one()
+            self.lx.expect(")")
+        else:
+            one()
+        return fwd, rev
+
     def _path_seq(self, first: Path | None) -> Path:
         items = [self._path_elt(first)]
         while self.lx.peek() == ("/", None) or self._pending_seq:
@@ -601,7 +641,8 @@ class _Parser:
                 p = self._path_alt()
                 self.lx.expect(")")
             elif self.lx.peek() == ("!", None):
-                raise SparqlUnsupported("negated property sets (!) in paths")
+                self.lx.next()
+                p = Path("neg", list(self._neg_prop_set()))
             elif self._peek_trailing_slash_pname():
                 # ex:a/ in PATH position: a following path-element starter
                 # means the slash is the sequence operator (sets
@@ -1147,6 +1188,39 @@ class _Planner:
             if ro is not None:
                 out = out.where(F.col("object") == ro)
             return out.select("subject", "object")
+        if p.op == "neg":
+            # negated property set !(f1|..|^r1|..): forward edges whose
+            # predicate ∉ {f}, unioned with REVERSED edges whose predicate
+            # ∉ {r} (SPARQL 1.1 §9.1 — the set splits on the ^ marker).
+            # An all-forward set (incl. the empty !()) has no reverse arm.
+            fwd, rev = p.items
+            parts: list[DataFrame] = []
+            if fwd or not rev:
+                out = rel
+                if fwd:
+                    out = out.where(~F.col("predicate").isin(list(fwd)))
+                if rs is not None:
+                    out = out.where(F.col("subject") == rs)
+                if ro is not None:
+                    out = out.where(F.col("object") == ro)
+                parts.append(out.select("subject", "object"))
+            if rev:
+                out = rel.where(~F.col("predicate").isin(list(rev)))
+                # result pair is (triple.object, triple.subject)
+                if rs is not None:
+                    out = out.where(F.col("object") == rs)
+                if ro is not None:
+                    out = out.where(F.col("subject") == ro)
+                parts.append(
+                    out.select(
+                        F.col("object").alias("subject"),
+                        F.col("subject").alias("object"),
+                    )
+                )
+            res = parts[0]
+            for extra in parts[1:]:
+                res = res.unionByName(extra)
+            return res
         if p.op == "inv":
             c = self._path_pairs(p.items[0], rel, rs=ro, ro=rs, zs=zo, zo=zs)
             return c.select(
@@ -1723,8 +1797,16 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
         df = df.distinct()
     if q.order_by:
         keys = []
-        for var, desc in q.order_by:
-            for k in _order_key(var):
+        for item, desc in q.order_by:
+            if isinstance(item, Expr):
+                # ORDER BY expression: compiled the same way FILTER/BIND
+                # expressions are; it may only reference projected vars
+                # (the frame is already projected — same limitation as
+                # variable order keys)
+                order_cols = [planner._expr_col(item, df)]
+            else:
+                order_cols = _order_key(item)
+            for k in order_cols:
                 keys.append(k.desc() if desc else k.asc())
         df = df.orderBy(*keys)
     if q.offset:
@@ -1817,11 +1899,21 @@ def _parse_modifiers(p: _Parser, q: SelectQuery) -> None:
                     desc = t2 == ("kw", "desc")
                     lx.next()
                     lx.expect("(")
-                    v = lx.next()
-                    if v is None or v[0] != "var":
-                        raise SparqlUnsupported("ORDER BY over expression")
+                    e = p._expr()
                     lx.expect(")")
-                    q.order_by.append((v[1], desc))
+                    if e.op == "term" and e.args[0].kind == "var":
+                        q.order_by.append((e.args[0].value, desc))
+                    else:  # ORDER BY DESC(expression)
+                        q.order_by.append((e, desc))
+                elif t2 == ("(", None):
+                    # bracketted expression order condition
+                    lx.next()
+                    e = p._expr()
+                    lx.expect(")")
+                    if e.op == "term" and e.args[0].kind == "var":
+                        q.order_by.append((e.args[0].value, False))
+                    else:
+                        q.order_by.append((e, False))
                 elif t2 is not None and t2[0] == "var":
                     lx.next()
                     q.order_by.append((t2[1], False))

@@ -754,10 +754,12 @@ def test_path_join_with_plain_pattern(path_ds):
 
 
 def test_path_unsupported_forms(path_ds):
-    with pytest.raises(SparqlUnsupported, match="negated"):
-        sparql_df(path_ds, PROLOGUE + "SELECT ?s WHERE { ?s !rdf:type ?o }")
+    # variables are not path elements
     with pytest.raises(SparqlParseError, match="IRI"):
         sparql_df(path_ds, PROLOGUE + "SELECT ?s WHERE { ?s (?p)+ ?o }")
+    # negated sets reject non-IRI members
+    with pytest.raises(SparqlParseError, match="negated"):
+        sparql_df(path_ds, PROLOGUE + "SELECT ?s WHERE { ?s !(?p) ?o }")
 
 
 def test_path_inside_graph_constant(dataset):
@@ -942,6 +944,89 @@ def test_path_double_slash_strips_exactly_one(spark):
     got = _pairs(sparql_df(ds, PROLOGUE + """
         SELECT ?o WHERE { ex:s1 ex:a// ex:b ?o . }"""))
     assert got == {(f"{EX}o1",)}
+
+
+@pytest.fixture(scope="module")
+def neg_ds(spark):
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return SparqlDataset(
+        triples=spark.createDataFrame(
+            [
+                (f"{EX}x", f"{EX}p", f"{EX}y"),
+                (f"{EX}x", f"{EX}q", f"{EX}z"),
+                (f"{EX}x", rdf_type, f"{EX}C"),
+                (f"{EX}w", f"{EX}r", f"{EX}x"),
+            ],
+            "subject string, predicate string, object string",
+        )
+    )
+
+
+def test_negated_property_set_bare(neg_ds):
+    # !ex:p — any forward edge whose predicate differs
+    got = _pairs(sparql_df(neg_ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:x !ex:p ?o }"""))
+    assert got == {(f"{EX}C",), (f"{EX}z",)}
+
+
+def test_negated_property_set_with_a_keyword(neg_ds):
+    got = _pairs(sparql_df(neg_ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:x !(ex:p|a) ?o }"""))
+    assert got == {(f"{EX}z",)}
+
+
+def test_negated_property_set_reverse_member(neg_ds):
+    # the ^ member contributes REVERSED edges whose predicate is not in
+    # the reverse set — ex:w -r-> ex:x reversed reaches ex:w from ex:x
+    got = _pairs(sparql_df(neg_ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:x !(ex:p|ex:q|a|^ex:nope) ?o }"""))
+    assert got == {(f"{EX}w",)}
+
+
+def test_negated_property_set_object_seed_and_seq(neg_ds):
+    got = _pairs(sparql_df(neg_ds, PROLOGUE + """
+        SELECT ?s WHERE { ?s !ex:q ex:y }"""))
+    assert got == {(f"{EX}x",)}
+    got = _pairs(sparql_df(neg_ds, PROLOGUE + """
+        SELECT ?o WHERE { ex:w ex:r/!ex:p ?o }"""))
+    assert got == {(f"{EX}C",), (f"{EX}z",)}
+
+
+@pytest.fixture(scope="module")
+def score_ds(spark):
+    return SparqlDataset(
+        triples=spark.createDataFrame(
+            [
+                (f"{EX}a", f"{EX}score", "5"),
+                (f"{EX}b", f"{EX}score", "40"),
+                (f"{EX}c", f"{EX}score", "11"),
+            ],
+            "subject string, predicate string, object string",
+        )
+    )
+
+
+def test_order_by_expression_desc(score_ds):
+    # ORDER BY DESC(arith expr) — previously SparqlUnsupported
+    rows = sparql_df(score_ds, PROLOGUE + """
+        SELECT ?s ?v WHERE { ?s ex:score ?v } ORDER BY DESC(?v * 2)
+        """).collect()
+    assert [r.s for r in rows] == [f"{EX}b", f"{EX}c", f"{EX}a"]
+
+
+def test_order_by_bracketted_builtin(score_ds):
+    rows = sparql_df(score_ds, PROLOGUE + """
+        SELECT ?s ?v WHERE { ?s ex:score ?v } ORDER BY (STRLEN(?v)) ?s
+        """).collect()
+    assert rows[0].s == f"{EX}a"  # shortest literal first
+
+
+def test_order_by_desc_var_fast_path(score_ds):
+    # DESC(?var) keeps the numeric-aware two-key sort
+    rows = sparql_df(score_ds, PROLOGUE + """
+        SELECT ?s ?v WHERE { ?s ex:score ?v } ORDER BY DESC(?v)
+        """).collect()
+    assert [r.v for r in rows] == ["40", "11", "5"]
 
 
 def test_path_trailing_slash_before_a_keyword(spark):
