@@ -21,27 +21,44 @@ def transitive_closure(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 12,
+    max_iterations: int = 20,
 ) -> DataFrame:
     """All (src, dst) pairs connected by a directed path. Exponential
-    squaring: paths(2k) = paths(k) ⋈ paths(k); stops at fixpoint."""
-    paths = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    paths = paths.persist()
+    squaring: paths(2k) = paths(k) ⋈ paths(k), so a diameter-d graph
+    converges in ⌈log₂ d⌉ rounds (the default covers diameter 2^20).
+
+    Each round ends in an eager ``localCheckpoint`` — iterative
+    DataFrames otherwise double their lineage every round until Catalyst
+    chokes on plan strings alone (same fix as
+    functions.dedup.connected_components); ``persist`` alone keeps the
+    data but not the plan bounded. Raises on non-convergence instead of
+    silently returning a truncated closure (review finding: the SPARQL
+    property-path engine and this operator had diverged on exactly
+    those two behaviors). Also the ALP kernel for SPARQL ``p+``/``p*``
+    (queries/sparql.py)."""
+    paths = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = paths.count()
     for _ in range(max_iterations):
-        hop = (
+        nxt = (
             paths.alias("a")
             .join(paths.alias("b"), F.col("a.dst") == F.col("b.src"))
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .unionByName(paths)
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        new_paths = paths.unionByName(hop).distinct().persist()
-        m = new_paths.count()
-        paths.unpersist()
-        paths = new_paths
+        m = nxt.count()
         if m == n:  # fixpoint
-            break
-        n = m
-    return paths
+            return paths
+        paths, n = nxt, m
+    raise RuntimeError(
+        f"transitive closure did not converge in {max_iterations} rounds "
+        f"(diameter > 2^{max_iterations})"
+    )
 
 
 def neighbors(

@@ -945,6 +945,12 @@ def _seeded_closure(
     worst case, never an all-pairs closure of the whole graph (review
     finding), and covers depth ``bfs_rounds + ~2^20`` (hop lengths double
     per round — the coverages add, they don't multiply)."""
+    # Materialize the edge relation ONCE: for a compound subpath, e.g.
+    # (ex:p/ex:q)+, ``edges`` is a join+distinct plan that every BFS
+    # round (and every fallback _from_reach call) would otherwise
+    # re-embed and re-execute — up to ~50 redundant shuffles of the same
+    # relation (review finding).
+    edges = edges.localCheckpoint(eager=True)
     reach = (
         edges.where(F.col("subject") == seed)
         .select("object")
@@ -1010,35 +1016,16 @@ def _seeded_closure(
 
 
 def _transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Distinct (subject, object) pairs connected by ≥1 step of ``edges``
-    — pointer-doubling (reach ∪ reach⋈reach), so a diameter-d graph
-    converges in ⌈log₂ d⌉ rounds (max_iter 20 covers diameter 2^20).
-    Each round ends in an eager ``localCheckpoint``: iterative DataFrames
-    otherwise double their lineage every round until Catalyst OOMs on
-    plan strings alone (same fix as functions.dedup.connected_components).
-    Evaluation is therefore EAGER — ArbitraryLengthPath has no
-    fixed-depth Catalyst plan."""
-    reach = edges.distinct().localCheckpoint(eager=True)
-    n = reach.count()
-    for _ in range(max_iter):
-        nxt = (
-            reach.alias("_f")
-            .join(reach.alias("_e"), F.col("_f.object") == F.col("_e.subject"))
-            .select(
-                F.col("_f.subject").alias("subject"),
-                F.col("_e.object").alias("object"),
-            )
-            .unionByName(reach)
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        n_nxt = nxt.count()
-        if n_nxt == n:
-            return reach
-        reach, n = nxt, n_nxt
-    raise RuntimeError(
-        f"property-path closure did not converge in {max_iter} rounds"
-    )
+    """Distinct (subject, object) pairs connected by ≥1 step of ``edges``.
+    Thin shim over operators.graph.transitive_closure (the shared
+    pointer-doubling kernel with per-round eager localCheckpoint and
+    raise-on-nonconvergence) — evaluation is EAGER because
+    ArbitraryLengthPath has no fixed-depth Catalyst plan."""
+    from ..operators.graph import transitive_closure
+
+    return transitive_closure(
+        edges, src="subject", dst="object", max_iterations=max_iter
+    ).select(F.col("src").alias("subject"), F.col("dst").alias("object"))
 
 
 def _compat_cond(shared: list[str], fuzzy: list[str]):

@@ -443,16 +443,26 @@ class LakeTable:
             dd = src.where(F.col(op_col) == "D")
             if "seq" in src.columns:
                 r = dd.agg(
-                    F.count(F.lit(1)).alias("n"), F.max("seq").alias("m")
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("seq").alias("m"),
+                    F.min("seq").alias("lo"),
                 ).first()
-                n_d, max_d = int(r["n"]), r["m"]
+                n_d, max_d, min_d = int(r["n"]), r["m"], r["lo"]
             else:
-                n_d, max_d = dd.limit(1).count(), None
+                n_d, max_d, min_d = dd.limit(1).count(), None, None
             if n_d:
                 drop_stats = {
                     "drops_rows": True,
                     "drops_rows_below": (
                         int(max_d) if max_d is not None else None
+                    ),
+                    # min delete seq: as-of/changefeed reads strictly BELOW
+                    # it are untouched by this commit's erasures (the
+                    # victims were all still live), so they stay servable
+                    # (review finding: one COW delete refused every
+                    # earlier, fully-servable window forever)
+                    "drops_rows_min": (
+                        int(min_d) if min_d is not None else None
                     ),
                 }
         # ≤ n_buckets ints — the only driver-side collect; callers that
@@ -894,7 +904,59 @@ class LakeTable:
                 f"as-of {seq_cut} predates retained history of {self.path} "
                 "(no qualifying compacted snapshot and early versions expired)"
             )
+        # Plain COW merges with op='D' rows erase their victims WITHOUT
+        # leaving a tombstone anywhere in the log, so a read at/above the
+        # first delete seq served from a base BEFORE that commit would
+        # resurrect the victims from older commits' immutable files
+        # (review finding: a post-delete re-insert classified 'update').
+        # Reads strictly below the commit's min delete seq predate every
+        # erasure and stay servable; commits at/below the base are
+        # invisible (the base snapshot's file list already reflects their
+        # erasures, and base_unsound vetted its bounds above). Expired
+        # drop commits need no twin check here: expiry implies a retained
+        # post-delete base (base_v is None forces vs[0] == 0, i.e. full
+        # history), and base_unsound already disqualifies such bases for
+        # cuts below the expired commit's recorded drop bound.
+        for v, m in self._cow_delete_mins(vs, snaps, base_v):
+            if m is None or seq_cut >= int(m):
+                raise ValueError(
+                    f"as-of/changefeed read at seq {seq_cut} would span "
+                    f"COW-deleted events (commit v{v} erased keys starting "
+                    f"at seq {m}); COW deletes leave no tombstone, so "
+                    "point-in-time state at/after them cannot be "
+                    "reconstructed from a pre-delete base — compact the "
+                    "table to create a post-delete base, or use MoR deletes"
+                )
         return vs, snaps, base_v
+
+    def _cow_delete_mins(
+        self,
+        vs: list[int],
+        snaps: dict[int, Snapshot],
+        base_v: int | None,
+    ) -> list[tuple[int, int | None]]:
+        """(version, min erased-delete seq) for retained plain-COW
+        row-dropping merges after the base. Purge rewrites and
+        tombstone-dropping compactions are exempt: the rows THEY drop
+        still pre-exist in earlier retained commits' immutable files, so
+        resolution sees the original tombstones."""
+        out: list[tuple[int, int | None]] = []
+        for v in vs:
+            if base_v is not None and v <= base_v:
+                continue
+            s = snaps[v]
+            if not s.summary.get("drops_rows"):
+                continue
+            bid = str(s.summary.get("batch_id", ""))
+            if (
+                bid.startswith("purge-")
+                or s.operation == "compact"
+                or s.summary.get("mode") == "compact"
+            ):
+                continue
+            m = s.summary.get("drops_rows_min")
+            out.append((v, int(m) if m is not None else None))
+        return out
 
     def _delta_file_walk(
         self,
@@ -1074,29 +1136,24 @@ class LakeTable:
                 "physically, so a changefeed over them would silently "
                 "miss them"
             )
-        for v in vs:
-            # A plain COW merge with op='D' rows physically erases keys —
-            # the delete event never lands in any file, so a window
-            # overlapping it would silently miss the 'delete' change.
-            # Purge rewrites (batch id 'purge-*') and tombstone-dropping
-            # compactions only remove rows that STILL EXIST in earlier
-            # commits' files (immutable until expiry, which the base plan
-            # already guards), so they stay readable.
-            if base_v is not None and v <= base_v:
-                continue  # base soundness at lo already vetted these
-            s = snaps[v]
-            if not s.summary.get("drops_rows"):
-                continue
-            bid = str(s.summary.get("batch_id", ""))
-            if bid.startswith("purge-") or s.summary.get("mode") == "compact":
-                continue
-            b = s.summary.get("drops_rows_below")
-            if b is None or lo_cut < int(b):
+        # A plain COW merge with op='D' rows physically erases keys — the
+        # delete event never lands in any file, so a window reaching the
+        # commit's first delete seq either contains an unreconstructable
+        # 'delete' change (delete seq in the window) or needs prior state
+        # at/after an erasure (delete seq ≤ lo, which _asof_base_plan
+        # already refused above unless a post-delete base absorbed it).
+        # Windows entirely BELOW the first delete seq predate every
+        # erasure and serve from immutable pre-delete files (review
+        # finding: the old lo-only bound both accepted unsound windows
+        # after the delete and refused sound ones before it).
+        for v, m in self._cow_delete_mins(vs, snaps, base_v):
+            if m is None or hi_cut >= int(m):
                 raise ValueError(
-                    f"read_changes window ({lo_cut}, {hi_cut}] may overlap "
-                    f"COW-deleted events (commit v{v}, batch {bid!r} dropped "
-                    f"rows below seq {b}); COW deletes leave no tombstone, "
-                    "so the changefeed cannot reconstruct them"
+                    f"read_changes window ({lo_cut}, {hi_cut}] reaches "
+                    f"COW-deleted events (commit v{v} erased keys starting "
+                    f"at seq {m}); COW deletes leave no tombstone, so the "
+                    "changefeed cannot reconstruct them — compact the "
+                    "table to create a post-delete base, or use MoR deletes"
                 )
         win_files = self._delta_file_walk(
             vs, snaps, base_v, hi_incl=hi_cut, lo_excl=lo_cut

@@ -426,7 +426,51 @@ def test_read_changes_refuses_cow_deletes_in_window(spark, tmp_path):
     )
     tbl.merge(cow, "cowdel", op_col="op")
     with pytest.raises(ValueError, match="COW-deleted events"):
-        tbl.read_changes(2, 9)
-    # a window strictly above the drop bound is still served
-    tbl.merge_mor(_df(spark, [("c", 10, 3, False)], _ASOF_SCHEMA), "b1")
-    assert _changes_got(tbl, 6, 12) == {("c", 10, "insert")}
+        tbl.read_changes(2, 9)  # the delete seq (5) sits inside the window
+
+
+def test_read_changes_cow_delete_window_soundness(spark, tmp_path):
+    """Both failure directions of the COW-delete guard (review findings):
+    a window entirely BEFORE the first delete seq must stay servable
+    (false reject), and a window at/after it must refuse — the prior
+    state at lo would resurrect the erased key and misclassify a
+    re-insert as 'update' (false accept) — until a post-delete compact
+    base makes the erasure visible to the as-of plan."""
+    tbl = LakeTable(spark, str(tmp_path / "cfs"), key_cols=["k"], n_buckets=2)
+    tbl.merge_mor(
+        _df(spark, [("a", 0, 1, False), ("b", 1, 2, False)], _ASOF_SCHEMA),
+        "b0",
+    )
+    cow = _df(
+        spark,
+        [("b", 5, 99, False, "D")],
+        "k string, seq long, v long, _deleted boolean, op string",
+    )
+    tbl.merge(cow, "cowdel", op_col="op")
+    # entirely below the first delete seq: served from immutable
+    # pre-delete files — b really was inserted in (0, 4]
+    assert _changes_got(tbl, 0, 4) == {("b", 1, "insert")}
+    # at/after the delete with only a pre-delete base: prior state at
+    # lo=6 cannot know b died at 5 (no tombstone) → loud refusal, and
+    # read_asof refuses the same cuts for the same reason
+    with pytest.raises(ValueError, match="COW-deleted events"):
+        tbl.read_changes(6, 12)
+    with pytest.raises(ValueError, match="COW-deleted events"):
+        tbl.read_asof(6)
+    assert {(r.k, r.seq) for r in tbl.read_asof(4).collect()} == {
+        ("a", 0),
+        ("b", 1),
+    }
+    # a compacted base AFTER the delete reflects the erasure, so the
+    # window becomes servable — and the re-insert of the erased key is
+    # classified 'insert' (b was dead at lo), not 'update'
+    tbl.compact()
+    tbl.merge_mor(
+        _df(spark, [("c", 10, 3, False), ("b", 11, 7, False)], _ASOF_SCHEMA),
+        "b1",
+    )
+    assert _changes_got(tbl, 6, 12) == {
+        ("c", 10, "insert"),
+        ("b", 11, "insert"),
+    }
+    assert {(r.k, r.seq) for r in tbl.read_asof(6).collect()} == {("a", 0)}
