@@ -1620,6 +1620,102 @@ def q_sparql_low_confidence_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         }""")
 
 
+def q_sparql_values_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VALUES`` inline data (SPARQL 1.1 §10.2) through the front end:
+    an in-query allow-list compiled to a join against a literal relation
+    (Catalyst broadcasts the tiny side)."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        SELECT ?subject ?lang_value WHERE {
+            ?subject ex:lang ?lang_value .
+            VALUES ?lang_value { "en" "fr" }
+        }""")
+
+
+def q_sparql_minus_low_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MINUS`` (SPARQL 1.1 §8.3) through the front end — same result
+    set as the NOT EXISTS twin because the domains overlap, but lowered
+    through the MINUS compatible-mapping/domain-overlap algebra."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        SELECT ?subject ?lang_value WHERE {
+            ?subject ex:lang ?lang_value .
+            MINUS {
+                <<?subject ex:lang ?lang_value>> ex:confidence ?c .
+                FILTER(?c > 0.5)
+            }
+        }""")
+
+
+def q_sparql_having_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``HAVING`` over an aggregate call (SPARQL 1.1 §11.3): repos with
+    more than 50 live files — the aggregate in the constraint becomes a
+    hidden aggregate column, filtered then dropped."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        SELECT ?repo (COUNT(?f) AS ?n_files) WHERE {
+            ?f ex:repo ?repo
+        } GROUP BY ?repo HAVING(COUNT(?f) > 40)""")
+
+
+def q_sparql_group_concat_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP_CONCAT(DISTINCT ...; SEPARATOR ...)`` (SPARQL 1.1 §11.4.7)
+    per repo — concatenation order is implementation-defined in the spec,
+    so the engine sorts members for a deterministic, oracle-checkable
+    result."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        SELECT ?repo (GROUP_CONCAT(DISTINCT ?l; SEPARATOR=",") AS ?langs)
+        WHERE { ?f ex:repo ?repo . ?f ex:lang ?l } GROUP BY ?repo""")
+
+
+def q_sparql_subquery_repo_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``{ SELECT ... }`` subquery (SPARQL 1.1 §12): every file joined to
+    its repo's aggregated size — the subselect evaluates independently
+    and joins the outer BGP on its projected variables."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        SELECT ?f ?repo ?n_files WHERE {
+            ?f ex:repo ?repo .
+            { SELECT ?repo (COUNT(?g) AS ?n_files)
+              WHERE { ?g ex:repo ?repo } GROUP BY ?repo }
+        }""")
+
+
+_REPO_IRI = f"'http://example.org/repo/' || {_san('repo')}"
+
+_SPARQL_HAVING_REPOS_SQL = f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f)
+SELECT {_REPO_IRI} AS repo, count(*) AS n_files
+FROM final GROUP BY 1 HAVING count(*) > 40
+"""
+
+_SPARQL_GROUP_CONCAT_SQL = f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f),
+pairs AS (SELECT DISTINCT {_REPO_IRI} AS repo, lang AS l FROM final)
+SELECT repo, string_agg(l, ',' ORDER BY l) AS langs
+FROM pairs GROUP BY repo
+"""
+
+_SPARQL_SUBQUERY_SIZES_SQL = f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f),
+fr AS (SELECT {_SUBJ} AS f, {_REPO_IRI} AS repo FROM final),
+sizes AS (SELECT repo, count(*) AS n_files FROM fr GROUP BY repo)
+SELECT fr.f AS f, fr.repo AS repo, sizes.n_files AS n_files
+FROM fr JOIN sizes USING (repo)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1708,6 +1804,30 @@ WITH final AS (SELECT * FROM {_FINAL_SQL} f)
 SELECT {_SUBJ} AS subject, lang AS lang_value
 FROM final
 WHERE round((length(content) % 100) / 100.0, 2) <= 0.5""",
+    ),
+    "sparql_values_langs": QueryEntry(
+        q_sparql_values_langs,
+        f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f)
+SELECT {_SUBJ} AS subject, lang AS lang_value
+FROM final WHERE lang IN ('en', 'fr')""",
+    ),
+    "sparql_minus_low_confidence": QueryEntry(
+        q_sparql_minus_low_confidence,
+        f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f)
+SELECT {_SUBJ} AS subject, lang AS lang_value
+FROM final
+WHERE round((length(content) % 100) / 100.0, 2) <= 0.5""",
+    ),
+    "sparql_having_repos": QueryEntry(
+        q_sparql_having_repos, _SPARQL_HAVING_REPOS_SQL
+    ),
+    "sparql_group_concat_langs": QueryEntry(
+        q_sparql_group_concat_langs, _SPARQL_GROUP_CONCAT_SQL
+    ),
+    "sparql_subquery_repo_sizes": QueryEntry(
+        q_sparql_subquery_repo_sizes, _SPARQL_SUBQUERY_SIZES_SQL
     ),
     "files_per_repo": QueryEntry(
         q_files_per_repo,

@@ -15,11 +15,18 @@ Supported grammar (everything the reference SELECT/ASK corpus uses):
   position — what the reference emits), matched against the annotation
   relation
 * ``OPTIONAL { ... }`` (left join), ``UNION`` (null-filled union),
-  ``GRAPH <g>/?g { ... }``
+  ``MINUS { ... }`` (domain-overlap anti join), ``GRAPH <g>/?g { ... }``
+* ``VALUES`` inline data with UNDEF — in-group blocks and the trailing
+  clause (joined per §18.2.4.4 order: after HAVING, before projection)
+* ``{ SELECT ... }`` subqueries, evaluated independently and joined on
+  their projected variables
 * ``FILTER`` with comparisons, ``&&`` ``||`` ``!``, ``regex``, ``bound``,
   ``str``, ``lang``, ``datatype`` (numeric comparison auto-casts)
-* ``SELECT [DISTINCT] ?v ... | * | (COUNT/SUM/AVG/MIN/MAX([DISTINCT] ?v|*)
-  AS ?alias)``, ``GROUP BY``, ``ORDER BY [ASC|DESC]``, ``LIMIT/OFFSET``
+* ``SELECT [DISTINCT] ?v ... | * | (COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/
+  SAMPLE([DISTINCT] ?v|*) AS ?alias)`` (GROUP_CONCAT takes ``;
+  SEPARATOR="..."`` and sorts members for determinism; SAMPLE = min),
+  ``GROUP BY``, ``HAVING`` (aggregate calls become hidden aggregate
+  columns), ``ORDER BY [ASC|DESC]``, ``LIMIT/OFFSET``
 * ``ASK { ... }`` and single-template ``CONSTRUCT { ... } WHERE { ... }``
 
 Execution model: each triple pattern is a constant-filtered projection of
@@ -135,6 +142,33 @@ class UnionOp:
 
 
 @dataclass
+class MinusOp:
+    """``MINUS { ... }`` (SPARQL 1.1 §8.3): drop a solution when the
+    right group has a COMPATIBLE mapping whose domain OVERLAPS it —
+    disjoint-domain matches remove nothing, unlike NOT EXISTS."""
+
+    group: Group
+
+
+@dataclass
+class InlineData:
+    """``VALUES`` inline data (SPARQL 1.1 §10.2) — in-group block or the
+    trailing values clause. ``rows`` hold Terms; ``None`` = UNDEF."""
+
+    vars: list  # list[str]
+    rows: list  # list[list[Term | None]]
+
+
+@dataclass
+class SubSelect:
+    """``{ SELECT ... }`` subquery pattern (SPARQL 1.1 §12) — evaluated
+    independently, then joined into the enclosing group on its projected
+    variables."""
+
+    query: "SelectQuery"
+
+
+@dataclass
 class Expr:
     op: str  # cmp ops, and, or, not, call, term
     args: list
@@ -142,11 +176,12 @@ class Expr:
 
 @dataclass
 class Aggregate:
-    fn: str  # count | sum | avg | min | max
+    fn: str  # count | sum | avg | min | max | group_concat | sample
     var: str | None  # None = COUNT(*) (unless expr is set)
     distinct: bool
     alias: str
     expr: "Expr | None" = None  # aggregate over an expression, e.g. SUM(IF(...))
+    sep: str | None = None  # GROUP_CONCAT(...; SEPARATOR="...")
 
 
 @dataclass
@@ -163,6 +198,8 @@ class SelectQuery:
     template: list = field(default_factory=list)  # CONSTRUCT TriplePatterns
     from_graphs: list = field(default_factory=list)  # FROM <g> (default graph)
     from_named: list = field(default_factory=list)  # FROM NAMED <g>
+    having: list = field(default_factory=list)  # HAVING constraints (Expr)
+    values: "InlineData | None" = None  # trailing VALUES clause
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +213,13 @@ _KEYWORDS = {
     "max", "regex", "bound", "str", "lang", "datatype", "true", "false",
     "bind", "exists", "not", "if", "coalesce", "now", "strstarts",
     "strends", "contains", "strlen", "floor", "abs", "round", "ucase",
-    "lcase", "concat", "from", "named",
+    "lcase", "concat", "from", "named", "values", "undef", "minus",
+    "having", "group_concat", "sample", "separator",
+}
+
+# aggregate function keywords (SELECT clause + HAVING expressions)
+_AGG_KEYWORDS = {
+    "count", "sum", "avg", "min", "max", "group_concat", "sample",
 }
 
 # zero-or-more-arg builtin calls handled uniformly in _expr_unary
@@ -368,6 +411,9 @@ class _Parser:
         # set by _path_elt when a trailing-slash pname (ex:a/) acts as a
         # sequence operator; consumed by _path_seq's continuation loop
         self._pending_seq = False
+        # the SelectQuery whose HAVING clause is being parsed: aggregate
+        # calls inside it become hidden aggregates on that query
+        self._having_q: SelectQuery | None = None
 
     def parse(self) -> SelectQuery:
         while True:
@@ -476,6 +522,16 @@ class _Parser:
                 g.patterns.append(Optional_(self._group(graph)))
                 self._maybe_dot()
                 continue
+            if tok == ("kw", "minus"):
+                self.lx.next()
+                g.patterns.append(MinusOp(self._group(graph)))
+                self._maybe_dot()
+                continue
+            if tok == ("kw", "values"):
+                self.lx.next()
+                g.patterns.append(self._inline_data())
+                self._maybe_dot()
+                continue
             if tok == ("kw", "filter"):
                 self.lx.next()
                 nxt = self.lx.peek()
@@ -518,6 +574,16 @@ class _Parser:
                 self._maybe_dot()
                 continue
             if tok == ("{", None):
+                if self.lx.peek2() == ("kw", "select"):
+                    # subquery: { SELECT ... } — parsed as a full select
+                    # (modifiers stop at the closing brace)
+                    self.lx.next()
+                    self.lx.expect("kw", "select")
+                    sub = self._select(subquery=True)
+                    self.lx.expect("}")
+                    g.patterns.append(SubSelect(sub))
+                    self._maybe_dot()
+                    continue
                 # group (possibly a UNION chain)
                 first = self._group(graph)
                 parts = [first]
@@ -537,6 +603,60 @@ class _Parser:
     def _maybe_dot(self):
         if self.lx.peek() == (".", None):
             self.lx.next()
+
+    # -- VALUES inline data --------------------------------------------------
+
+    def _inline_data(self) -> InlineData:
+        """``VALUES ?v { t ... }`` or ``VALUES (?a ?b) { (t t) ... }``
+        with UNDEF wildcards (SPARQL 1.1 §10.2)."""
+        tok = self.lx.peek()
+        if tok is not None and tok[0] == "var":
+            vars_ = [self.lx.next()[1]]
+            self.lx.expect("{")
+            rows = []
+            while True:
+                tok = self.lx.peek()
+                if tok is None:
+                    raise SparqlParseError("unterminated VALUES block")
+                if tok == ("}", None):
+                    self.lx.next()
+                    return InlineData(vars_, rows)
+                rows.append([self._data_value()])
+        self.lx.expect("(")
+        vars_ = []
+        while self.lx.peek() is not None and self.lx.peek()[0] == "var":
+            vars_.append(self.lx.next()[1])
+        self.lx.expect(")")
+        self.lx.expect("{")
+        rows = []
+        while True:
+            tok = self.lx.peek()
+            if tok is None:
+                raise SparqlParseError("unterminated VALUES block")
+            if tok == ("}", None):
+                self.lx.next()
+                return InlineData(vars_, rows)
+            self.lx.expect("(")
+            row = []
+            while self.lx.peek() != (")", None):
+                if self.lx.peek() is None:
+                    raise SparqlParseError("unterminated VALUES row")
+                row.append(self._data_value())
+            self.lx.next()
+            if len(row) != len(vars_):
+                raise SparqlParseError(
+                    f"VALUES row arity {len(row)} != {len(vars_)} variables"
+                )
+            rows.append(row)
+
+    def _data_value(self) -> Term | None:
+        if self.lx.peek() == ("kw", "undef"):
+            self.lx.next()
+            return None
+        t = self._term(allow_quoted=False)
+        if t.kind == "var":
+            raise SparqlParseError("variable inside a VALUES data block")
+        return t
 
     # -- property paths ----------------------------------------------------
 
@@ -776,6 +896,20 @@ class _Parser:
             return Expr("exists", [self._group(self._graph_ctx), negated])
         if tok == ("(", None):
             return self._expr_primary_paren()
+        if (
+            tok is not None
+            and tok[0] == "kw"
+            and tok[1] in _AGG_KEYWORDS
+            and self._having_q is not None
+            and self.lx.peek2() == ("(", None)
+        ):
+            # aggregate call inside a HAVING constraint: becomes a hidden
+            # aggregate column on the query, referenced here by alias
+            q = self._having_q
+            fn = self.lx.next()[1]
+            alias = f"_hv{len(q.aggregates)}"
+            q.aggregates.append(_parse_agg_call(self, fn, alias))
+            return Expr("term", [Term("var", alias)])
         if tok is not None and tok[0] == "kw" and tok[1] in _FN_KEYWORDS:
             fn = tok[1]
             self.lx.next()
@@ -1311,6 +1445,30 @@ class _Planner:
         ).distinct()
         return nodes.select("subject", F.col("subject").alias("object"))
 
+    def _values_df(self, iv: InlineData) -> tuple[DataFrame, set[str]]:
+        """VALUES inline data → a tiny literal relation (terms rendered
+        to the same lexical strings patterns match on). Catalyst
+        broadcasts it into the enclosing join; UNDEF cells are nulls and
+        mark their variable maybe-unbound so the compatible-mapping join
+        path engages."""
+        from pyspark.sql import types as T
+
+        spark = self.ds.triples.sparkSession
+        rows = [
+            tuple(None if t is None else str(t.value) for t in row)
+            for row in iv.rows
+        ]
+        schema = T.StructType(
+            [T.StructField(v, T.StringType(), True) for v in iv.vars]
+        )
+        vdf = spark.createDataFrame(rows, schema)
+        maybe = {
+            v
+            for i, v in enumerate(iv.vars)
+            if any(row[i] is None for row in rows)
+        }
+        return vdf, maybe
+
     def _bind(self, df: DataFrame, cols: dict[str, Term]) -> DataFrame:
         select: dict[str, Column] = {}
         for col, term in cols.items():
@@ -1425,6 +1583,45 @@ class _Planner:
                         df = df.drop(*marks)
                 if not certain:  # a computed expression may evaluate null
                     maybe.add(p.var)
+            elif isinstance(p, MinusOp):
+                if df is None:
+                    raise SparqlUnsupported("MINUS as the first pattern")
+                sub, smaybe = self._group(p.group)
+                shared = sorted(set(df.columns) & set(sub.columns))
+                if shared:
+                    fuzzy = [c for c in shared if c in maybe or c in smaybe]
+                    if not fuzzy:
+                        # always-bound shared vars: compatibility =
+                        # equality and the domain overlap is guaranteed —
+                        # a plain anti join (shuffle-friendly, broadcasts
+                        # small right sides)
+                        df = df.join(sub, on=shared, how="left_anti")
+                    else:
+                        # spec §8.3: remove μ when ∃μ' compatible AND
+                        # dom(μ)∩dom(μ') ≠ ∅ — the overlap term keeps
+                        # solutions whose only shared vars are unbound
+                        la, ra = df.alias("_l"), sub.alias("_r")
+                        overlap = F.lit(False)
+                        for c in shared:
+                            overlap = overlap | (
+                                F.col(f"_l.{c}").isNotNull()
+                                & F.col(f"_r.{c}").isNotNull()
+                            )
+                        df = la.join(
+                            ra,
+                            _compat_cond(shared, fuzzy) & overlap,
+                            "left_anti",
+                        )
+                # no shared vars: disjoint domains — MINUS removes nothing
+            elif isinstance(p, InlineData):
+                vdf, vmaybe = self._values_df(p)
+                df, maybe = self._join(df, maybe, vdf, vmaybe, "inner")
+            elif isinstance(p, SubSelect):
+                sdf, smaybe = _select_frame(
+                    _Planner(self.ds, p.query.from_graphs, p.query.from_named),
+                    p.query,
+                )
+                df, maybe = self._join(df, maybe, sdf, smaybe, "inner")
             elif isinstance(p, UnionOp):
                 parts = [self._group(sub) for sub in p.groups]
                 allcols = sorted(
@@ -1675,6 +1872,9 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
     (use ``to_ask_json``); CONSTRUCT → (subject, predicate, object)."""
     q = parse_sparql(query) if isinstance(query, str) else query
     planner = _Planner(ds, q.from_graphs, q.from_named)
+    if q.form == "select":
+        out, _ = _select_frame(planner, q)
+        return out
     df = planner.group_df(q.where)
 
     if q.form == "ask":
@@ -1728,8 +1928,53 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
         if q.limit is not None:
             out = out.limit(q.limit)
         return out
+    raise SparqlUnsupported(f"query form {q.form!r}")
 
-    # SELECT
+
+def _agg_col(a: Aggregate, df: DataFrame) -> Column:
+    """One SPARQL aggregate → a Spark aggregate expression."""
+    if a.fn == "count":
+        if a.var is None:
+            if a.distinct:
+                # COUNT(DISTINCT *) = distinct SOLUTIONS; struct()
+                # keeps rows whose fields are null (count_distinct
+                # over bare columns would drop them — review
+                # finding: DISTINCT was silently ignored here)
+                return F.count_distinct(
+                    F.struct(*[F.col(c) for c in df.columns])
+                )
+            return F.count(F.lit(1))
+        if a.distinct:
+            return F.countDistinct(a.var)
+        return F.count(a.var)
+    if a.fn == "group_concat":
+        # spec leaves concatenation order implementation-defined; sorting
+        # makes the result deterministic across partitionings (and lets a
+        # SQL oracle replay it with string_agg ... ORDER BY)
+        vals = (
+            F.collect_set(a.var) if a.distinct else F.collect_list(a.var)
+        )
+        return F.array_join(F.array_sort(vals), a.sep if a.sep is not None else " ")
+    if a.fn == "sample":
+        # SAMPLE = any value from the group; min() is a deterministic
+        # choice the spec permits
+        return F.min(a.var)
+    src = F.col(a.var).cast("double")
+    col = getattr(F, a.fn)(src)
+    if a.fn in ("sum", "avg"):
+        col = F.round(col, 6)
+    return col
+
+
+def _select_frame(
+    planner: "_Planner", q: SelectQuery
+) -> tuple[DataFrame, set[str]]:
+    """Compile a SELECT end-to-end: WHERE group, aggregation + HAVING +
+    trailing VALUES + projection + DISTINCT/ORDER/OFFSET/LIMIT. Shared by
+    top-level SELECTs and ``{ SELECT ... }`` subqueries; returns the
+    result frame plus its maybe-unbound variable set (for the enclosing
+    compatible-mapping join)."""
+    df, maybe = planner._group(q.where)
     if q.aggregates:
         keys = q.group_by or [
             p for p in q.projections if p != "*"
@@ -1745,38 +1990,36 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
             if a.expr is not None:
                 tmp = f"_agg_in_{i}"
                 df = df.withColumn(tmp, planner._expr_col(a.expr, df))
-                a = Aggregate(a.fn, tmp, a.distinct, a.alias)
+                a = Aggregate(a.fn, tmp, a.distinct, a.alias, sep=a.sep)
             agg_list.append(a)
-        aggs = []
-        for a in agg_list:
-            if a.fn == "count":
-                if a.var is None:
-                    if a.distinct:
-                        # COUNT(DISTINCT *) = distinct SOLUTIONS; struct()
-                        # keeps rows whose fields are null (count_distinct
-                        # over bare columns would drop them — review
-                        # finding: DISTINCT was silently ignored here)
-                        col = F.count_distinct(
-                            F.struct(*[F.col(c) for c in df.columns])
-                        )
-                    else:
-                        col = F.count(F.lit(1))
-                elif a.distinct:
-                    col = F.countDistinct(a.var)
-                else:
-                    col = F.count(a.var)
-            else:
-                src = F.col(a.var).cast("double")
-                col = getattr(F, a.fn)(src)
-                if a.fn in ("sum", "avg"):
-                    col = F.round(col, 6)
-            aggs.append(col.alias(a.alias))
+        aggs = [_agg_col(a, df).alias(a.alias) for a in agg_list]
         df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-        out_cols = keys + [a.alias for a in agg_list]
+        for h in q.having:  # filter on hidden _hv* aliases, then drop them
+            df = df.where(planner._expr_col(h, df))
+        visible = [
+            a.alias for a in agg_list if not a.alias.startswith("_hv")
+        ]
+        if q.projections and q.projections != ["*"]:
+            out_cols = [k for k in keys if k in q.projections] + visible
+        else:
+            out_cols = keys + visible
+        maybe = (maybe & set(keys)) | {
+            a.alias
+            for a in agg_list
+            if a.fn not in ("count", "group_concat")
+            and not a.alias.startswith("_hv")
+        }
         df = df.select(*out_cols)
-    elif q.projections and q.projections != ["*"]:
+    elif q.having:
+        raise SparqlUnsupported("HAVING without GROUP BY / aggregates")
+    if q.values is not None:
+        # trailing VALUES clause: joined after grouping/HAVING, before
+        # projection (SPARQL 1.1 §18.2.4.4)
+        vdf, vmaybe = planner._values_df(q.values)
+        df, maybe = planner._join(df, maybe, vdf, vmaybe, "inner")
+    if not q.aggregates and q.projections and q.projections != ["*"]:
         df = df.select(*q.projections)
-    else:
+    elif not q.aggregates:
         # SELECT *: internal existence-marker columns from variable-free
         # patterns are not query variables (review finding)
         df = df.drop(*[c for c in df.columns if re.match(r"^_one\d+$", c)])
@@ -1800,7 +2043,7 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
-    return df
+    return df, maybe & set(df.columns)
 
 
 def execute_sparql(ds: SparqlDataset, query: str, limit: int = 10_000) -> dict:
@@ -1837,38 +2080,55 @@ def _parse_select_clause(p: _Parser, q: SelectQuery) -> None:
         elif tok == ("(", None):
             lx.next()
             fn_tok = lx.next()
-            if fn_tok is None or fn_tok[0] != "kw" or fn_tok[1] not in (
-                "count", "sum", "avg", "min", "max",
-            ):
+            if fn_tok is None or fn_tok[0] != "kw" or fn_tok[1] not in _AGG_KEYWORDS:
                 raise SparqlUnsupported(f"projection expression {fn_tok!r}")
-            lx.expect("(")
-            distinct = False
-            if lx.peek() == ("kw", "distinct"):
-                lx.next()
-                distinct = True
-            var, agg_expr = None, None
-            if lx.peek() == ("*", None):
-                lx.next()
-            else:  # bare ?var, or an expression: SUM(IF(...)), COUNT(STR(?x))
-                e = p._expr()
-                if e.op == "term" and e.args[0].kind == "var":
-                    var = e.args[0].value
-                else:
-                    agg_expr = e
-            lx.expect(")")
+            agg = _parse_agg_call(p, fn_tok[1], alias="")
             lx.expect("kw", "as")
             alias = lx.next()
             if alias is None or alias[0] != "var":
                 raise SparqlParseError("expected ?alias after AS")
             lx.expect(")")
-            q.aggregates.append(
-                Aggregate(fn_tok[1], var, distinct, alias[1], expr=agg_expr)
-            )
+            agg.alias = alias[1]
+            q.aggregates.append(agg)
         else:
             break
 
 
-def _parse_modifiers(p: _Parser, q: SelectQuery) -> None:
+def _parse_agg_call(p: _Parser, fn: str, alias: str) -> Aggregate:
+    """Parse ``( [DISTINCT] (*|expr) [; SEPARATOR = "s"] )`` after an
+    aggregate keyword (shared by the SELECT clause and HAVING
+    expressions)."""
+    lx = p.lx
+    lx.expect("(")
+    distinct = False
+    if lx.peek() == ("kw", "distinct"):
+        lx.next()
+        distinct = True
+    var, agg_expr = None, None
+    if lx.peek() == ("*", None):
+        lx.next()
+    else:  # bare ?var, or an expression: SUM(IF(...)), COUNT(STR(?x))
+        e = p._expr()
+        if e.op == "term" and e.args[0].kind == "var":
+            var = e.args[0].value
+        else:
+            agg_expr = e
+    sep = None
+    if lx.peek() == (";", None):
+        lx.next()
+        lx.expect("kw", "separator")
+        lx.expect("=")
+        s = lx.next()
+        if s is None or s[0] != "literal":
+            raise SparqlParseError(f"expected string after SEPARATOR=, got {s!r}")
+        sep = s[1][0]
+    lx.expect(")")
+    if fn != "count" and var is None and agg_expr is None:
+        raise SparqlParseError(f"{fn.upper()}(*) is not valid SPARQL")
+    return Aggregate(fn, var, distinct, alias, expr=agg_expr, sep=sep)
+
+
+def _parse_modifiers(p: _Parser, q: SelectQuery, *, subquery: bool = False) -> None:
     lx = p.lx
     while True:
         tok = lx.peek()
@@ -1877,6 +2137,22 @@ def _parse_modifiers(p: _Parser, q: SelectQuery) -> None:
             lx.expect("kw", "by")
             while lx.peek() is not None and lx.peek()[0] == "var":
                 q.group_by.append(lx.next()[1])
+        elif tok == ("kw", "having"):
+            lx.next()
+            prev, p._having_q = p._having_q, q
+            try:
+                # HavingClause = 'HAVING' Constraint+ ; each constraint a
+                # bracketted expression — aggregate calls inside become
+                # hidden aggregates (dropped after the filter)
+                while lx.peek() == ("(", None):
+                    q.having.append(p._expr_primary_paren())
+            finally:
+                p._having_q = prev
+            if not q.having:
+                raise SparqlParseError("HAVING requires (constraint)")
+        elif tok == ("kw", "values"):
+            lx.next()
+            q.values = p._inline_data()
         elif tok == ("kw", "order"):
             lx.next()
             lx.expect("kw", "by")
@@ -1926,6 +2202,8 @@ def _parse_modifiers(p: _Parser, q: SelectQuery) -> None:
                 raise SparqlParseError(f"expected OFFSET count, got {t2!r}")
         elif tok is None:
             return
+        elif subquery and tok == ("}", None):
+            return  # end of { SELECT ... } — caller consumes the brace
         else:
             raise SparqlParseError(f"unexpected trailing token {tok!r}")
 
@@ -1948,7 +2226,7 @@ def _parse_dataset_clauses(p: _Parser, q: SelectQuery) -> None:
         (q.from_named if named else q.from_graphs).append(iri)
 
 
-def _select(self: _Parser) -> SelectQuery:
+def _select(self: _Parser, subquery: bool = False) -> SelectQuery:
     q = SelectQuery("select", [], [], Group(), [], [], None, None, False)
     _parse_select_clause(self, q)
     if not q.projections and not q.aggregates:
@@ -1957,7 +2235,7 @@ def _select(self: _Parser) -> SelectQuery:
     if self.lx.peek() == ("kw", "where"):
         self.lx.next()
     q.where = self._group()
-    _parse_modifiers(self, q)
+    _parse_modifiers(self, q, subquery=subquery)
     return q
 
 

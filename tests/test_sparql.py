@@ -384,7 +384,11 @@ def test_select_json_document_shape(dataset):
 
 def test_unsupported_is_loud():
     with pytest.raises((SparqlUnsupported, SparqlParseError)):
-        parse_sparql("SELECT ?x WHERE { ?x ?p ?o . MINUS { ?x a ?c } }")
+        parse_sparql("DESCRIBE <http://example.org/x>")
+    with pytest.raises((SparqlUnsupported, SparqlParseError)):
+        parse_sparql(
+            "SELECT ?x WHERE { SERVICE <http://remote/sparql> { ?x ?p ?o } }"
+        )
 
 
 # -- review-finding regressions ---------------------------------------------
@@ -1045,3 +1049,147 @@ def test_path_trailing_slash_before_a_keyword(spark):
     got = _pairs(sparql_df(ds, PROLOGUE + """
         SELECT ?c WHERE { ex:s1 ex:rel/ a ?c . }"""))
     assert got == {(f"{EX}C",)}
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 VALUES / MINUS / HAVING / GROUP_CONCAT / SAMPLE / subqueries
+# ---------------------------------------------------------------------------
+
+
+def test_values_in_group(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?t WHERE {
+            ?d dcat:theme ?t .
+            VALUES ?t { ex:themes/Finance ex:themes/Ops }
+        }"""), "d", "t")
+    assert sorted(rows_) == [
+        (_ds("DS1"), _theme("Finance")),
+        (_ds("DS3"), _theme("Finance")),
+        (_ds("DS4"), _theme("Ops")),
+    ]
+
+
+def test_values_row_form_with_undef(dataset):
+    # UNDEF cell = wildcard: the ("python-free" row) binds ?z for every
+    # theme, the bound row only for Finance
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?t ?z WHERE {
+            ?d dcat:theme ?t .
+            VALUES (?t ?z) { (ex:themes/Finance "F") (UNDEF "ANY") }
+        }"""), "d", "t", "z")
+    anyrows = [r for r in rows_ if r[2] == "ANY"]
+    frows = [r for r in rows_ if r[2] == "F"]
+    assert len(anyrows) == 5  # every theme assertion
+    assert sorted(frows) == [
+        (_ds("DS1"), _theme("Finance"), "F"),
+        (_ds("DS3"), _theme("Finance"), "F"),
+    ]
+
+
+def test_trailing_values_clause(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?t WHERE { ?d dcat:theme ?t }
+        VALUES ?t { ex:themes/Risk }"""), "d", "t")
+    assert rows_ == [(_ds("DS3"), _theme("Risk"))]
+
+
+def test_values_parse_errors():
+    with pytest.raises(SparqlParseError):
+        parse_sparql("SELECT ?x WHERE { VALUES ?x { ?y } }")
+    with pytest.raises(SparqlParseError):
+        parse_sparql(
+            'SELECT ?x WHERE { VALUES (?x ?y) { ("a") } }'
+        )  # arity mismatch
+
+
+def test_minus_removes_compatible_overlapping(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d WHERE {
+            ?d a dcat:Dataset .
+            MINUS { ?d dcat:theme ex:themes/Finance }
+        }"""), "d")
+    assert rows_ == [(_ds("DS2"),)]
+
+
+def test_minus_disjoint_domain_removes_nothing(dataset):
+    # MINUS whose right side shares no variables: dom(mu) ∩ dom(mu') = ∅,
+    # so nothing is removed (the spec divergence from NOT EXISTS)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d WHERE {
+            ?d a dcat:Dataset .
+            MINUS { ?x dcat:theme ex:themes/Finance }
+        }"""), "d")
+    assert len(rows_) == 3
+
+
+def test_having_aggregate_call(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d (COUNT(?t) AS ?n) WHERE { ?d dcat:theme ?t }
+        GROUP BY ?d HAVING(COUNT(?t) > 1)"""), "d", "n")
+    assert rows_ == [(_ds("DS3"), 2)]
+
+
+def test_having_references_select_alias(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d (COUNT(?t) AS ?n) WHERE { ?d dcat:theme ?t }
+        GROUP BY ?d HAVING(?n > 1)"""), "d", "n")
+    assert rows_ == [(_ds("DS3"), 2)]
+
+
+def test_having_without_grouping_rejected(dataset):
+    with pytest.raises(SparqlUnsupported):
+        sparql_df(dataset, PROLOGUE + """
+            SELECT ?d WHERE { ?d a dcat:Dataset } HAVING(?d > "a")""")
+
+
+def test_group_concat_separator(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d (GROUP_CONCAT(?t; SEPARATOR=",") AS ?themes)
+        WHERE { ?d dcat:theme ?t } GROUP BY ?d"""), "d", "themes")
+    got = dict(rows_)
+    assert got[_ds("DS3")] == f"{_theme('Finance')},{_theme('Risk')}"
+    assert got[_ds("DS2")] == _theme("Marketing")
+
+
+def test_group_concat_distinct_default_sep(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT (GROUP_CONCAT(DISTINCT ?t) AS ?all_themes)
+        WHERE { ?d dcat:theme ?t }"""), "all_themes")
+    # sorted distinct themes, space-joined (the spec default separator)
+    assert rows_[0][0] == " ".join(
+        sorted([_theme("Finance"), _theme("Marketing"),
+                _theme("Ops"), _theme("Risk")])
+    )
+
+
+def test_sample_is_deterministic(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d (SAMPLE(?t) AS ?one) WHERE { ?d dcat:theme ?t }
+        GROUP BY ?d"""), "d", "one")
+    got = dict(rows_)
+    assert got[_ds("DS3")] == _theme("Finance")  # min() choice
+
+
+def test_subquery_joins_outer_pattern(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?title ?n WHERE {
+            ?d dct:title ?title .
+            { SELECT ?d (COUNT(?t) AS ?n)
+              WHERE { ?d dcat:theme ?t } GROUP BY ?d }
+        }"""), "d", "title", "n")
+    assert sorted(rows_) == [
+        (_ds("DS1"), "Customers", 1),
+        (_ds("DS2"), "Orders", 1),
+        (_ds("DS3"), "Revenue", 2),
+    ]
+
+
+def test_subquery_with_having_and_values(dataset):
+    # a subselect carrying its own HAVING, joined against a VALUES block
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?n WHERE {
+            VALUES ?d { ex:dataset/DS3 ex:dataset/DS2 }
+            { SELECT ?d (COUNT(?t) AS ?n)
+              WHERE { ?d dcat:theme ?t } GROUP BY ?d HAVING(COUNT(?t) > 1) }
+        }"""), "d", "n")
+    assert rows_ == [(_ds("DS3"), 2)]
