@@ -1653,7 +1653,7 @@ def q_sparql_minus_low_confidence(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def q_sparql_having_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``HAVING`` over an aggregate call (SPARQL 1.1 §11.3): repos with
-    more than 50 live files — the aggregate in the constraint becomes a
+    more than 40 live files — the aggregate in the constraint becomes a
     hidden aggregate column, filtered then dropped."""
     from .sparql import sparql_df
 

@@ -21,7 +21,10 @@ Supported grammar (everything the reference SELECT/ASK corpus uses):
 * ``{ SELECT ... }`` subqueries, evaluated independently and joined on
   their projected variables
 * ``FILTER`` with comparisons, ``&&`` ``||`` ``!``, ``regex``, ``bound``,
-  ``str``, ``lang``, ``datatype`` (numeric comparison auto-casts)
+  ``str``, ``lang``, ``datatype`` (numeric comparison auto-casts), and
+  the string/date builtins ``STRSTARTS/STRENDS/CONTAINS/STRLEN/UCASE/
+  LCASE/CONCAT/STRBEFORE/STRAFTER/REPLACE/SUBSTR/YEAR/MONTH/DAY/HOURS/
+  MINUTES/SECONDS``
 * ``SELECT [DISTINCT] ?v ... | * | (COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/
   SAMPLE([DISTINCT] ?v|*) AS ?alias)`` (GROUP_CONCAT takes ``;
   SEPARATOR="..."`` and sorts members for determinism; SAMPLE = min),
@@ -200,6 +203,10 @@ class SelectQuery:
     from_named: list = field(default_factory=list)  # FROM NAMED <g>
     having: list = field(default_factory=list)  # HAVING constraints (Expr)
     values: "InlineData | None" = None  # trailing VALUES clause
+    # aliases of aggregates synthesized for HAVING constraints — tracked
+    # by identity so a user variable that happens to be named ?_hv0 is
+    # not mistaken for one (review finding)
+    hidden_aliases: list = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +221,9 @@ _KEYWORDS = {
     "bind", "exists", "not", "if", "coalesce", "now", "strstarts",
     "strends", "contains", "strlen", "floor", "abs", "round", "ucase",
     "lcase", "concat", "from", "named", "values", "undef", "minus",
-    "having", "group_concat", "sample", "separator",
+    "having", "group_concat", "sample", "separator", "strbefore",
+    "strafter", "replace", "substr", "year", "month", "day", "hours",
+    "minutes", "seconds",
 }
 
 # aggregate function keywords (SELECT clause + HAVING expressions)
@@ -226,7 +235,8 @@ _AGG_KEYWORDS = {
 _FN_KEYWORDS = {
     "regex", "bound", "str", "lang", "datatype", "if", "coalesce", "now",
     "strstarts", "strends", "contains", "strlen", "floor", "abs", "round",
-    "ucase", "lcase", "concat",
+    "ucase", "lcase", "concat", "strbefore", "strafter", "replace",
+    "substr", "year", "month", "day", "hours", "minutes", "seconds",
 }
 _PUNCT2 = ("<<", ">>", "<=", ">=", "!=", "&&", "||")
 
@@ -576,10 +586,13 @@ class _Parser:
             if tok == ("{", None):
                 if self.lx.peek2() == ("kw", "select"):
                     # subquery: { SELECT ... } — parsed as a full select
-                    # (modifiers stop at the closing brace)
+                    # (modifiers stop at the closing brace); its WHERE
+                    # inherits the enclosing GRAPH context (review
+                    # finding: GRAPH <g> { { SELECT ... } } must scope the
+                    # inner patterns to <g>)
                     self.lx.next()
                     self.lx.expect("kw", "select")
-                    sub = self._select(subquery=True)
+                    sub = self._select(subquery=True, graph=graph)
                     self.lx.expect("}")
                     g.patterns.append(SubSelect(sub))
                     self._maybe_dot()
@@ -908,7 +921,10 @@ class _Parser:
             q = self._having_q
             fn = self.lx.next()[1]
             alias = f"_hv{len(q.aggregates)}"
+            while any(a.alias == alias for a in q.aggregates):
+                alias += "_"  # dodge a user alias of the same name
             q.aggregates.append(_parse_agg_call(self, fn, alias))
+            q.hidden_aliases.append(alias)
             return Expr("term", [Term("var", alias)])
         if tok is not None and tok[0] == "kw" and tok[1] in _FN_KEYWORDS:
             fn = tok[1]
@@ -1617,8 +1633,14 @@ class _Planner:
                 vdf, vmaybe = self._values_df(p)
                 df, maybe = self._join(df, maybe, vdf, vmaybe, "inner")
             elif isinstance(p, SubSelect):
+                # the subquery inherits the outer FROM / FROM NAMED
+                # dataset unless it declares its own (review finding)
                 sdf, smaybe = _select_frame(
-                    _Planner(self.ds, p.query.from_graphs, p.query.from_named),
+                    _Planner(
+                        self.ds,
+                        p.query.from_graphs or self.from_graphs,
+                        p.query.from_named or self.from_named,
+                    ),
                     p.query,
                 )
                 df, maybe = self._join(df, maybe, sdf, smaybe, "inner")
@@ -1805,6 +1827,53 @@ class _Planner:
                 return F.when(cols[0], cols[1]).otherwise(cols[2])
             if fn == "now":
                 return F.current_timestamp()
+            if fn in ("strbefore", "strafter"):
+                # SPARQL 17.4.3.9/.10: "" when there is no match; an
+                # empty pattern yields "" (STRBEFORE) / the whole string
+                # (STRAFTER). instr() is 1-based, 0 = absent.
+                a, b = cols[0].cast("string"), cols[1].cast("string")
+                pos = F.when(F.length(b) == 0, F.lit(1)).otherwise(
+                    F.instr(a, b)
+                )
+                if fn == "strbefore":
+                    return F.when(
+                        pos > 0, F.substring(a, F.lit(1), pos - 1)
+                    ).otherwise(F.lit(""))
+                return F.when(
+                    pos > 0,
+                    F.substring(a, pos + F.length(b), F.length(a)),
+                ).otherwise(F.lit(""))
+            if fn == "replace":
+                # regex-based per 17.4.3.15; pattern/replacement must be
+                # plan literals (same rule as regex())
+                for arg in args[1:]:
+                    if arg.op != "term" or arg.args[0].kind not in (
+                        "literal", "num",
+                    ):
+                        raise SparqlUnsupported(
+                            "REPLACE pattern/replacement must be literals"
+                        )
+                pat = str(args[1].args[0].value)
+                rep = str(args[2].args[0].value)
+                if len(args) > 3 and "i" in str(args[3].args[0].value):
+                    pat = f"(?i){pat}"
+                return F.regexp_replace(cols[0].cast("string"), pat, rep)
+            if fn == "substr":
+                # SPARQL SUBSTR is 1-based like Spark's substring
+                start = cols[1].cast("int")
+                length = (
+                    cols[2].cast("int")
+                    if len(cols) > 2
+                    else F.length(cols[0])
+                )
+                return F.substring(cols[0].cast("string"), start, length)
+            if fn in ("year", "month", "day", "hours", "minutes", "seconds"):
+                ts = F.to_timestamp(cols[0])
+                getter = {
+                    "year": F.year, "month": F.month, "day": F.dayofmonth,
+                    "hours": F.hour, "minutes": F.minute, "seconds": F.second,
+                }[fn]
+                return getter(ts)
             if fn in ("str", "lang", "datatype"):
                 # our relations carry plain lexical values; str() is
                 # identity, lang()/datatype() unsupported without the
@@ -1830,7 +1899,10 @@ class _Planner:
         raise SparqlUnsupported(f"expression op {e.op}")
 
 
-_NUMERIC_CALLS = {"strlen", "floor", "abs", "round"}
+_NUMERIC_CALLS = {
+    "strlen", "floor", "abs", "round", "year", "month", "day", "hours",
+    "minutes", "seconds",
+}
 
 
 def _numeric_expr(e: Expr) -> bool:
@@ -1880,6 +1952,14 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
     if q.form == "ask":
         return df
     if q.form == "construct":
+        if q.having:
+            raise SparqlUnsupported("HAVING on a CONSTRUCT query")
+        if q.values is not None:
+            # trailing VALUES restricts the solutions the template is
+            # instantiated over (review finding: it parsed but was
+            # silently ignored, returning unrestricted results)
+            vdf, vmaybe = planner._values_df(q.values)
+            df, _ = planner._join(df, set(), vdf, vmaybe, "inner")
         parts = []
         for tp in q.template:
             def term_col(t: Term) -> Column:
@@ -1951,9 +2031,8 @@ def _agg_col(a: Aggregate, df: DataFrame) -> Column:
         # spec leaves concatenation order implementation-defined; sorting
         # makes the result deterministic across partitionings (and lets a
         # SQL oracle replay it with string_agg ... ORDER BY)
-        vals = (
-            F.collect_set(a.var) if a.distinct else F.collect_list(a.var)
-        )
+        src = F.col(a.var).cast("string")  # array_join needs array<string>
+        vals = F.collect_set(src) if a.distinct else F.collect_list(src)
         return F.array_join(F.array_sort(vals), a.sep if a.sep is not None else " ")
     if a.fn == "sample":
         # SAMPLE = any value from the group; min() is a deterministic
@@ -1994,11 +2073,10 @@ def _select_frame(
             agg_list.append(a)
         aggs = [_agg_col(a, df).alias(a.alias) for a in agg_list]
         df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-        for h in q.having:  # filter on hidden _hv* aliases, then drop them
+        for h in q.having:  # filter on the hidden aliases, then drop them
             df = df.where(planner._expr_col(h, df))
-        visible = [
-            a.alias for a in agg_list if not a.alias.startswith("_hv")
-        ]
+        hidden = set(q.hidden_aliases)
+        visible = [a.alias for a in agg_list if a.alias not in hidden]
         if q.projections and q.projections != ["*"]:
             out_cols = [k for k in keys if k in q.projections] + visible
         else:
@@ -2007,19 +2085,24 @@ def _select_frame(
             a.alias
             for a in agg_list
             if a.fn not in ("count", "group_concat")
-            and not a.alias.startswith("_hv")
+            and a.alias not in hidden
         }
-        df = df.select(*out_cols)
+        project_cols: list | None = out_cols
     elif q.having:
         raise SparqlUnsupported("HAVING without GROUP BY / aggregates")
+    elif q.projections and q.projections != ["*"]:
+        project_cols = q.projections
+    else:
+        project_cols = None  # SELECT *
     if q.values is not None:
         # trailing VALUES clause: joined after grouping/HAVING, before
-        # projection (SPARQL 1.1 §18.2.4.4)
+        # projection (SPARQL 1.1 §18.2.4.4) — projection then removes any
+        # VALUES variable the SELECT clause doesn't name
         vdf, vmaybe = planner._values_df(q.values)
         df, maybe = planner._join(df, maybe, vdf, vmaybe, "inner")
-    if not q.aggregates and q.projections and q.projections != ["*"]:
-        df = df.select(*q.projections)
-    elif not q.aggregates:
+    if project_cols is not None:
+        df = df.select(*project_cols)
+    else:
         # SELECT *: internal existence-marker columns from variable-free
         # patterns are not query variables (review finding)
         df = df.drop(*[c for c in df.columns if re.match(r"^_one\d+$", c)])
@@ -2226,7 +2309,9 @@ def _parse_dataset_clauses(p: _Parser, q: SelectQuery) -> None:
         (q.from_named if named else q.from_graphs).append(iri)
 
 
-def _select(self: _Parser, subquery: bool = False) -> SelectQuery:
+def _select(
+    self: _Parser, subquery: bool = False, graph: Term | None = None
+) -> SelectQuery:
     q = SelectQuery("select", [], [], Group(), [], [], None, None, False)
     _parse_select_clause(self, q)
     if not q.projections and not q.aggregates:
@@ -2234,7 +2319,7 @@ def _select(self: _Parser, subquery: bool = False) -> SelectQuery:
     _parse_dataset_clauses(self, q)
     if self.lx.peek() == ("kw", "where"):
         self.lx.next()
-    q.where = self._group()
+    q.where = self._group(graph)
     _parse_modifiers(self, q, subquery=subquery)
     return q
 

@@ -1193,3 +1193,114 @@ def test_subquery_with_having_and_values(dataset):
               WHERE { ?d dcat:theme ?t } GROUP BY ?d HAVING(COUNT(?t) > 1) }
         }"""), "d", "n")
     assert rows_ == [(_ds("DS3"), 2)]
+
+
+# -- review-finding regressions (SPARQL 1.1 additions) ------------------------
+
+
+def test_construct_trailing_values_restricts(dataset):
+    # trailing VALUES on CONSTRUCT parsed but was silently ignored
+    df = sparql_df(dataset, PROLOGUE + """
+        CONSTRUCT { ?d ex:keptTheme ?t } WHERE { ?d dcat:theme ?t }
+        VALUES ?t { ex:themes/Risk }""")
+    got = rows(df, "subject", "object")
+    assert got == [(_ds("DS3"), _theme("Risk"))]
+
+
+def test_subquery_inherits_graph_context(dataset):
+    # GRAPH <g2> { { SELECT ... } } must scope inner patterns to g2
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?t WHERE {
+            GRAPH <http://example.org/graph/g2> {
+                { SELECT ?d ?t WHERE { ?d dcat:theme ?t } }
+            }
+        }"""), "d", "t")
+    assert rows_ == [(_ds("DS3"), _theme("Risk"))]
+
+
+def test_subquery_inherits_outer_from(dataset):
+    # a subquery without its own dataset clause uses the outer FROM
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?n FROM <http://example.org/graph/g2> WHERE {
+            { SELECT (COUNT(*) AS ?n) WHERE { ?d dcat:theme ?t } }
+        }"""), "n")
+    assert rows_ == [(1,)]
+
+
+def test_trailing_values_var_dropped_by_aggregate_projection(dataset):
+    # an unprojected trailing-VALUES var must not leak into the schema
+    df = sparql_df(dataset, PROLOGUE + """
+        SELECT ?d (COUNT(?t) AS ?n) WHERE { ?d dcat:theme ?t }
+        GROUP BY ?d VALUES ?z { "a" "b" }""")
+    assert df.columns == ["d", "n"]
+    assert df.count() == 8  # 4 datasets x 2 VALUES rows (join pre-projection)
+
+
+def test_user_alias_hv_prefix_not_hidden(dataset):
+    # ?_hv0 is a legal variable; it must not be mistaken for a hidden
+    # HAVING aggregate and dropped
+    df = sparql_df(dataset, PROLOGUE + """
+        SELECT ?d (COUNT(?t) AS ?_hv0) WHERE { ?d dcat:theme ?t }
+        GROUP BY ?d HAVING(COUNT(?t) > 1)""")
+    assert df.columns == ["d", "_hv0"]
+    assert rows(df, "d", "_hv0") == [(_ds("DS3"), 2)]
+
+
+def test_group_concat_over_computed_numeric(dataset):
+    # GROUP_CONCAT over a BIND-computed double must stringify, not crash
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT (GROUP_CONCAT(?n; SEPARATOR=",") AS ?ns) WHERE {
+            ?d dcat:theme ?t .
+            BIND(1.0 + 1.0 AS ?n)
+        }"""), "ns")
+    assert rows_[0][0].count("2") == 5
+
+
+# -- SPARQL 1.1 string/date builtins ------------------------------------------
+
+
+def test_strbefore_strafter(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?pre ?post WHERE {
+            ?d dct:title ?t .
+            BIND(STRBEFORE(?t, "e") AS ?pre)
+            BIND(STRAFTER(?t, "e") AS ?post)
+            FILTER(?d = ex:dataset/DS3)
+        }"""), "d", "pre", "post")
+    assert rows_ == [(_ds("DS3"), "R", "venue")]
+
+
+def test_strbefore_no_match_and_empty_pattern(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?none ?empty_b ?empty_a WHERE {
+            ?d dct:title ?t .
+            BIND(STRBEFORE(?t, "zzz") AS ?none)
+            BIND(STRBEFORE(?t, "") AS ?empty_b)
+            BIND(STRAFTER(?t, "") AS ?empty_a)
+            FILTER(?d = ex:dataset/DS2)
+        }"""), "none", "empty_b", "empty_a")
+    assert rows_ == [("", "", "Orders")]
+
+
+def test_replace_and_substr(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?r ?s3 ?s2 WHERE {
+            ?d dct:title ?t .
+            BIND(REPLACE(?t, "[aeiou]", "_") AS ?r)
+            BIND(SUBSTR(?t, 2, 3) AS ?s3)
+            BIND(SUBSTR(?t, 4) AS ?s2)
+            FILTER(?d = ex:dataset/DS1)
+        }"""), "r", "s3", "s2")
+    assert rows_ == [("C_st_m_rs", "ust", "tomers")]
+
+
+def test_date_accessors(dataset):
+    # generatedAtTime annotations carry xsd:dateTime lexicals
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?y ?m WHERE {
+            <<?d dcat:theme ?t>> prov:generatedAtTime ?ts .
+            BIND(YEAR(?ts) AS ?y)
+            BIND(MONTH(?ts) AS ?m)
+            FILTER(MONTH(?ts) = 1)
+        }"""), "d", "y", "m")
+    assert rows_ == [(_ds("DS3"), 2025, 1)]
