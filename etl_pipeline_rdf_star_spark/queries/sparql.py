@@ -20,16 +20,19 @@ Supported grammar (everything the reference SELECT/ASK corpus uses):
   clause (joined per §18.2.4.4 order: after HAVING, before projection)
 * ``{ SELECT ... }`` subqueries, evaluated independently and joined on
   their projected variables
-* ``FILTER`` with comparisons, ``&&`` ``||`` ``!``, ``regex``, ``bound``,
-  ``str``, ``lang``, ``datatype`` (numeric comparison auto-casts), and
-  the string/date builtins ``STRSTARTS/STRENDS/CONTAINS/STRLEN/UCASE/
-  LCASE/CONCAT/STRBEFORE/STRAFTER/REPLACE/SUBSTR/YEAR/MONTH/DAY/HOURS/
-  MINUTES/SECONDS``
+* ``FILTER`` with comparisons, ``&&`` ``||`` ``!``, ``[NOT] IN``,
+  ``regex``, ``bound``, ``str``, ``lang``, ``datatype`` (numeric
+  comparison auto-casts), term tests ``isIRI/isURI/isLiteral/isNumeric/
+  isBlank`` (kind sniffed from the lexical form), and the string/date/
+  hash builtins ``STRSTARTS/STRENDS/CONTAINS/STRLEN/UCASE/LCASE/CONCAT/
+  STRBEFORE/STRAFTER/REPLACE/SUBSTR/ENCODE_FOR_URI/YEAR/MONTH/DAY/HOURS/
+  MINUTES/SECONDS/MD5/SHA1/SHA256/SHA384/SHA512``
 * ``SELECT [DISTINCT] ?v ... | * | (COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/
   SAMPLE([DISTINCT] ?v|*) AS ?alias)`` (GROUP_CONCAT takes ``;
-  SEPARATOR="..."`` and sorts members for determinism; SAMPLE = min),
-  ``GROUP BY``, ``HAVING`` (aggregate calls become hidden aggregate
-  columns), ``ORDER BY [ASC|DESC]``, ``LIMIT/OFFSET``
+  SEPARATOR="..."`` and sorts members for determinism; SAMPLE = min)
+  ``| (expr AS ?alias)`` (non-aggregate select expressions, desugared to
+  trailing BINDs), ``GROUP BY``, ``HAVING`` (aggregate calls become
+  hidden aggregate columns), ``ORDER BY [ASC|DESC]``, ``LIMIT/OFFSET``
 * ``ASK { ... }`` and single-template ``CONSTRUCT { ... } WHERE { ... }``
 
 Execution model: each triple pattern is a constant-filtered projection of
@@ -207,6 +210,9 @@ class SelectQuery:
     # by identity so a user variable that happens to be named ?_hv0 is
     # not mistaken for one (review finding)
     hidden_aliases: list = field(default_factory=list)
+    # non-aggregate SELECT expressions (expr AS ?v), desugared to BINDs
+    # appended after the WHERE group's patterns
+    select_binds: list = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +229,9 @@ _KEYWORDS = {
     "lcase", "concat", "from", "named", "values", "undef", "minus",
     "having", "group_concat", "sample", "separator", "strbefore",
     "strafter", "replace", "substr", "year", "month", "day", "hours",
-    "minutes", "seconds",
+    "minutes", "seconds", "in", "isiri", "isuri", "isliteral",
+    "isnumeric", "isblank", "encode_for_uri", "md5", "sha1", "sha256",
+    "sha384", "sha512",
 }
 
 # aggregate function keywords (SELECT clause + HAVING expressions)
@@ -237,6 +245,8 @@ _FN_KEYWORDS = {
     "strstarts", "strends", "contains", "strlen", "floor", "abs", "round",
     "ucase", "lcase", "concat", "strbefore", "strafter", "replace",
     "substr", "year", "month", "day", "hours", "minutes", "seconds",
+    "isiri", "isuri", "isliteral", "isnumeric", "isblank",
+    "encode_for_uri", "md5", "sha1", "sha256", "sha384", "sha512",
 }
 _PUNCT2 = ("<<", ">>", "<=", ">=", "!=", "&&", "||")
 
@@ -453,6 +463,10 @@ class _Parser:
             if self.lx.peek() == ("kw", "where"):
                 self.lx.next()
             q.where = self._group()
+            # ASK takes solution modifiers + a ValuesClause in the 1.1
+            # grammar; skipping this silently ignored a trailing VALUES
+            # (review finding)
+            self._modifiers(q)
             return q
         if tok == ("kw", "construct"):
             template = self._template()
@@ -589,7 +603,13 @@ class _Parser:
                     # (modifiers stop at the closing brace); its WHERE
                     # inherits the enclosing GRAPH context (review
                     # finding: GRAPH <g> { { SELECT ... } } must scope the
-                    # inner patterns to <g>)
+                    # inner patterns to <g>). A VARIABLE graph context is
+                    # refused loudly: Graph(?g, subselect) binds ?g from
+                    # the Graph operator itself, which this compiler does
+                    # not model through a subquery's projection (review
+                    # finding: it surfaced as an unresolved-column error)
+                    if graph is not None and graph.kind == "var":
+                        raise SparqlUnsupported("subquery inside GRAPH ?var")
                     self.lx.next()
                     self.lx.expect("kw", "select")
                     sub = self._select(subquery=True, graph=graph)
@@ -873,6 +893,23 @@ class _Parser:
             self.lx.next()
             right = self._expr_add()
             return Expr(ops[tok], [left, right])
+        if tok == ("kw", "in") or (
+            tok == ("kw", "not") and self.lx.peek2() == ("kw", "in")
+        ):
+            # SPARQL 1.1 17.4.1.9/.10: Expr [NOT] IN ( list )
+            negated = tok == ("kw", "not")
+            self.lx.next()
+            if negated:
+                self.lx.expect("kw", "in")
+            self.lx.expect("(")
+            items = []
+            if self.lx.peek() != (")", None):
+                items.append(self._expr())
+                while self.lx.peek() == (",", None):
+                    self.lx.next()
+                    items.append(self._expr())
+            self.lx.expect(")")
+            return Expr("in", [left, items, negated])
         return left
 
     def _expr_add(self) -> Expr:
@@ -921,8 +958,17 @@ class _Parser:
             q = self._having_q
             fn = self.lx.next()[1]
             alias = f"_hv{len(q.aggregates)}"
-            while any(a.alias == alias for a in q.aggregates):
-                alias += "_"  # dodge a user alias of the same name
+            # dodge user names: aggregate aliases, GROUP BY keys, and
+            # projected vars are all columns of the aggregated frame
+            # (review finding: a ?_hvN group key produced a duplicate
+            # column)
+            taken = (
+                {a.alias for a in q.aggregates}
+                | set(q.group_by)
+                | set(q.projections)
+            )
+            while alias in taken:
+                alias += "_"
             q.aggregates.append(_parse_agg_call(self, fn, alias))
             q.hidden_aliases.append(alias)
             return Expr("term", [Term("var", alias)])
@@ -1204,6 +1250,11 @@ class _Planner:
         self.ds = ds
         self.from_graphs = from_graphs or []
         self.from_named = from_named or []
+        # a query with ANY dataset clause uses exactly the declared
+        # dataset: FROM-only ⇒ no named graphs, FROM NAMED-only ⇒ empty
+        # default graph (review finding: emptiness of one list was read
+        # as "unrestricted", merging datasets across subqueries)
+        self.has_dataset = bool(self.from_graphs or self.from_named)
 
     def _dataset_scope(self, df: DataFrame, tp: TriplePattern) -> DataFrame:
         """FROM / FROM NAMED dataset semantics: a pattern outside GRAPH
@@ -1211,9 +1262,11 @@ class _Planner:
         a GRAPH pattern matches named graphs (restricted to FROM NAMED
         when given). Plain graph-column filters — Catalyst pushes them
         into the scan."""
+        if not self.has_dataset:
+            return df
         scope = self.from_named if tp.graph is not None else self.from_graphs
         if not scope:
-            return df
+            return df.where(F.lit(False))  # declared dataset has no such part
         if "graph" not in df.columns:
             return df.where(F.lit(False))  # dataset has no named graphs
         return df.where(F.col("graph").isin(scope))
@@ -1634,14 +1687,16 @@ class _Planner:
                 df, maybe = self._join(df, maybe, vdf, vmaybe, "inner")
             elif isinstance(p, SubSelect):
                 # the subquery inherits the outer FROM / FROM NAMED
-                # dataset unless it declares its own (review finding)
+                # dataset unless it declares ANY dataset clause of its
+                # own — a query with a dataset clause uses only its own
+                # dataset, so the two clause kinds must not be merged
+                # independently (review finding)
+                if p.query.from_graphs or p.query.from_named:
+                    sfrom, snamed = p.query.from_graphs, p.query.from_named
+                else:
+                    sfrom, snamed = self.from_graphs, self.from_named
                 sdf, smaybe = _select_frame(
-                    _Planner(
-                        self.ds,
-                        p.query.from_graphs or self.from_graphs,
-                        p.query.from_named or self.from_named,
-                    ),
-                    p.query,
+                    _Planner(self.ds, sfrom, snamed), p.query
                 )
                 df, maybe = self._join(df, maybe, sdf, smaybe, "inner")
             elif isinstance(p, UnionOp):
@@ -1759,6 +1814,12 @@ class _Planner:
                 return Expr("call", [fn, [walk(a) for a in args]])
             if node.op == "term":
                 return node
+            if node.op == "in":
+                # args = [left Expr, [member Exprs], negated bool]
+                left_e, items, negated = node.args
+                return Expr(
+                    "in", [walk(left_e), [walk(x) for x in items], negated]
+                )
             return Expr(node.op, [walk(a) for a in node.args])
 
         return walk(e), df, markers
@@ -1787,18 +1848,11 @@ class _Planner:
                 # pattern/flags must be literal terms: rlike takes a plan
                 # literal, and silently using a variable NAME as the regex
                 # would match the wrong rows
-                for a in args[1:]:
-                    if a.op != "term" or a.args[0].kind not in (
-                        "literal", "num",
-                    ):
-                        raise SparqlUnsupported(
-                            "regex pattern/flags must be literals"
-                        )
-                pat = args[1].args[0].value
-                flags = args[2].args[0].value if len(args) > 2 else ""
-                if "i" in flags:
+                lits = _literal_args(args[1:], "regex pattern/flags")
+                pat = lits[0]
+                if len(lits) > 1 and "i" in lits[1]:
                     pat = f"(?i){pat}"
-                return cols[0].rlike(str(pat))
+                return cols[0].rlike(pat)
             if fn == "bound":
                 return cols[0].isNotNull()
             if fn == "strstarts":
@@ -1830,50 +1884,92 @@ class _Planner:
             if fn in ("strbefore", "strafter"):
                 # SPARQL 17.4.3.9/.10: "" when there is no match; an
                 # empty pattern yields "" (STRBEFORE) / the whole string
-                # (STRAFTER). instr() is 1-based, 0 = absent.
+                # (STRAFTER). instr() is 1-based, 0 = absent. A null
+                # (unbound) operand propagates null — SPARQL error →
+                # unbound — instead of falling into the "" branch
+                # (review finding).
                 a, b = cols[0].cast("string"), cols[1].cast("string")
+                null_in = a.isNull() | b.isNull()
                 pos = F.when(F.length(b) == 0, F.lit(1)).otherwise(
                     F.instr(a, b)
                 )
                 if fn == "strbefore":
-                    return F.when(
-                        pos > 0, F.substring(a, F.lit(1), pos - 1)
-                    ).otherwise(F.lit(""))
-                return F.when(
-                    pos > 0,
-                    F.substring(a, pos + F.length(b), F.length(a)),
-                ).otherwise(F.lit(""))
+                    return (
+                        F.when(null_in, F.lit(None).cast("string"))
+                        .when(pos > 0, F.substring(a, F.lit(1), pos - 1))
+                        .otherwise(F.lit(""))
+                    )
+                return (
+                    F.when(null_in, F.lit(None).cast("string"))
+                    .when(
+                        pos > 0,
+                        F.substring(a, pos + F.length(b), F.length(a)),
+                    )
+                    .otherwise(F.lit(""))
+                )
             if fn == "replace":
                 # regex-based per 17.4.3.15; pattern/replacement must be
                 # plan literals (same rule as regex())
-                for arg in args[1:]:
-                    if arg.op != "term" or arg.args[0].kind not in (
-                        "literal", "num",
-                    ):
-                        raise SparqlUnsupported(
-                            "REPLACE pattern/replacement must be literals"
-                        )
-                pat = str(args[1].args[0].value)
-                rep = str(args[2].args[0].value)
-                if len(args) > 3 and "i" in str(args[3].args[0].value):
+                lits = _literal_args(args[1:], "REPLACE pattern/replacement")
+                pat, rep = lits[0], lits[1]
+                if len(lits) > 2 and "i" in lits[2]:
                     pat = f"(?i){pat}"
                 return F.regexp_replace(cols[0].cast("string"), pat, rep)
             if fn == "substr":
-                # SPARQL SUBSTR is 1-based like Spark's substring
+                # XPath fn:substring positional semantics (17.4.3.3):
+                # characters at 1-based positions p with
+                # start <= p < start + length — a non-positive start
+                # truncates from position 1 with correspondingly fewer
+                # characters, unlike Spark's substring(0→1, neg→from-end)
+                # (review finding)
+                s = cols[0].cast("string")
                 start = cols[1].cast("int")
-                length = (
-                    cols[2].cast("int")
-                    if len(cols) > 2
-                    else F.length(cols[0])
-                )
-                return F.substring(cols[0].cast("string"), start, length)
+                start_eff = F.greatest(start, F.lit(1))
+                if len(cols) > 2:
+                    end = start + cols[2].cast("int")  # exclusive
+                    len_eff = F.greatest(end - start_eff, F.lit(0))
+                else:
+                    len_eff = F.length(s)
+                return F.substring(s, start_eff, len_eff)
             if fn in ("year", "month", "day", "hours", "minutes", "seconds"):
-                ts = F.to_timestamp(cols[0])
+                # try_to_timestamp: a non-dateTime lexical yields null
+                # (SPARQL error → unbound) instead of an ANSI-mode cast
+                # exception aborting the whole job (review finding)
+                ts = F.try_to_timestamp(cols[0])
                 getter = {
                     "year": F.year, "month": F.month, "day": F.dayofmonth,
                     "hours": F.hour, "minutes": F.minute, "seconds": F.second,
                 }[fn]
                 return getter(ts)
+            if fn in ("isiri", "isuri", "isliteral", "isblank"):
+                # the serving relations carry lexical strings; term kind
+                # is sniffed the same way CONSTRUCT's okind_col does
+                # (shared _IRI_RE so the sniffs cannot drift)
+                from ..serving import _IRI_RE
+
+                s = cols[0].cast("string")
+                is_bnode = s.startswith("_:")
+                is_iri = s.rlike(_IRI_RE.pattern) & ~is_bnode
+                if fn == "isblank":
+                    return is_bnode
+                if fn in ("isiri", "isuri"):
+                    return is_iri
+                return ~is_iri & ~is_bnode
+            if fn == "isnumeric":
+                return cols[0].cast("string").rlike(_NUM_RE.pattern)
+            if fn == "encode_for_uri":
+                # url_encode is form-encoding (space → '+'); RFC 3986
+                # percent-encoding wants %20
+                return F.regexp_replace(
+                    F.url_encode(cols[0].cast("string")), r"\+", "%20"
+                )
+            if fn in ("md5", "sha1", "sha256", "sha384", "sha512"):
+                s = cols[0].cast("string")
+                if fn == "md5":
+                    return F.md5(s)
+                if fn == "sha1":
+                    return F.sha1(s)
+                return F.sha2(s, int(fn[3:]))
             if fn in ("str", "lang", "datatype"):
                 # our relations carry plain lexical values; str() is
                 # identity, lang()/datatype() unsupported without the
@@ -1881,6 +1977,20 @@ class _Planner:
                 if fn == "str":
                     return cols[0].cast("string")
                 raise SparqlUnsupported(f"{fn}() needs term metadata")
+        if e.op == "in":
+            left_e, items, negated = e.args
+            numeric = _numeric_expr(left_e) or any(
+                _numeric_expr(x) for x in items
+            )
+            lcol = self._expr_col(left_e, df)
+            vals = [self._expr_col(x, df) for x in items]
+            if numeric:
+                lcol = lcol.cast("double")
+                vals = [v.cast("double") for v in vals]
+            cond = F.lit(False)  # IN () = false; NOT IN () = true
+            for v in vals:
+                cond = cond | (lcol == v)
+            return ~cond if negated else cond
         if e.op in ("add", "sub", "mul", "div"):
             a, b = (self._expr_col(x, df).cast("double") for x in e.args)
             return {
@@ -1897,6 +2007,19 @@ class _Planner:
                 ">": a > b, "<=": a <= b, ">=": a >= b,
             }[e.op]
         raise SparqlUnsupported(f"expression op {e.op}")
+
+
+def _literal_args(args: list, what: str) -> list[str]:
+    """Require each expression to be a literal/number term and return the
+    lexical values (shared by regex()/REPLACE(): their patterns become
+    plan literals, and silently using a variable NAME as the pattern
+    would match the wrong rows)."""
+    out = []
+    for a in args:
+        if a.op != "term" or a.args[0].kind not in ("literal", "num"):
+            raise SparqlUnsupported(f"{what} must be literals")
+        out.append(str(a.args[0].value))
+    return out
 
 
 _NUMERIC_CALLS = {
@@ -1947,19 +2070,20 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
     if q.form == "select":
         out, _ = _select_frame(planner, q)
         return out
-    df = planner.group_df(q.where)
+    if q.having:
+        raise SparqlUnsupported(f"HAVING on an {q.form.upper()} query")
+    df, gmaybe = planner._group(q.where)
+    if q.values is not None:
+        # trailing VALUES restricts the solutions (review finding: it
+        # parsed but was silently ignored, returning unrestricted
+        # results; second finding: the group's maybe-set must thread
+        # through so OPTIONAL-unbound vars join as compatible mappings)
+        vdf, vmaybe = planner._values_df(q.values)
+        df, gmaybe = planner._join(df, gmaybe, vdf, vmaybe, "inner")
 
     if q.form == "ask":
         return df
     if q.form == "construct":
-        if q.having:
-            raise SparqlUnsupported("HAVING on a CONSTRUCT query")
-        if q.values is not None:
-            # trailing VALUES restricts the solutions the template is
-            # instantiated over (review finding: it parsed but was
-            # silently ignored, returning unrestricted results)
-            vdf, vmaybe = planner._values_df(q.values)
-            df, _ = planner._join(df, set(), vdf, vmaybe, "inner")
         parts = []
         for tp in q.template:
             def term_col(t: Term) -> Column:
@@ -2162,17 +2286,33 @@ def _parse_select_clause(p: _Parser, q: SelectQuery) -> None:
             q.projections.append(tok[1])
         elif tok == ("(", None):
             lx.next()
-            fn_tok = lx.next()
-            if fn_tok is None or fn_tok[0] != "kw" or fn_tok[1] not in _AGG_KEYWORDS:
-                raise SparqlUnsupported(f"projection expression {fn_tok!r}")
-            agg = _parse_agg_call(p, fn_tok[1], alias="")
-            lx.expect("kw", "as")
-            alias = lx.next()
-            if alias is None or alias[0] != "var":
-                raise SparqlParseError("expected ?alias after AS")
-            lx.expect(")")
-            agg.alias = alias[1]
-            q.aggregates.append(agg)
+            nxt = lx.peek()
+            if (
+                nxt is not None
+                and nxt[0] == "kw"
+                and nxt[1] in _AGG_KEYWORDS
+                and lx.peek2() == ("(", None)
+            ):
+                fn_tok = lx.next()
+                agg = _parse_agg_call(p, fn_tok[1], alias="")
+                lx.expect("kw", "as")
+                alias = lx.next()
+                if alias is None or alias[0] != "var":
+                    raise SparqlParseError("expected ?alias after AS")
+                lx.expect(")")
+                agg.alias = alias[1]
+                q.aggregates.append(agg)
+            else:
+                # non-aggregate SELECT expression: (expr AS ?alias) —
+                # desugars to a BIND at the end of the WHERE group
+                e = p._expr()
+                lx.expect("kw", "as")
+                alias = lx.next()
+                if alias is None or alias[0] != "var":
+                    raise SparqlParseError("expected ?alias after AS")
+                lx.expect(")")
+                q.projections.append(alias[1])
+                q.select_binds.append(Bind(alias[1], e))
         else:
             break
 
@@ -2321,6 +2461,15 @@ def _select(
         self.lx.next()
     q.where = self._group(graph)
     _parse_modifiers(self, q, subquery=subquery)
+    if q.select_binds:
+        if q.aggregates:
+            # (expr AS ?v) alongside aggregates would need the expression
+            # evaluated over the aggregated frame — not modeled by the
+            # BIND desugaring; refuse loudly instead of mis-scoping
+            raise SparqlUnsupported(
+                "non-aggregate SELECT expression mixed with aggregates"
+            )
+        q.where.patterns.extend(q.select_binds)
     return q
 
 

@@ -1304,3 +1304,157 @@ def test_date_accessors(dataset):
             FILTER(MONTH(?ts) = 1)
         }"""), "d", "y", "m")
     assert rows_ == [(_ds("DS3"), 2025, 1)]
+
+
+# -- second-pass review-finding regressions -----------------------------------
+
+
+def test_construct_values_threads_maybe_set(dataset):
+    # OPTIONAL-unbound ?src must join the VALUES row as a compatible
+    # mapping (unbound matches anything), not drop to 0 triples
+    df = sparql_df(dataset, PROLOGUE + """
+        CONSTRUCT { ?d ex:src ?who } WHERE {
+            ?d a dcat:Dataset .
+            OPTIONAL { <<?d dcat:theme ?t>> prov:wasDerivedFrom ?who .
+                       FILTER(?who = ex:system/NOPE) }
+        } VALUES ?who { ex:system/FALLBACK }""")
+    got = rows(df, "subject", "object")
+    assert sorted(got) == [
+        (_ds("DS1"), _sys("FALLBACK")),
+        (_ds("DS2"), _sys("FALLBACK")),
+        (_ds("DS3"), _sys("FALLBACK")),
+    ]
+
+
+def test_ask_trailing_values(dataset):
+    # ASK must honor its ValuesClause: restricting to a theme that does
+    # not exist flips the answer to false
+    df = sparql_df(dataset, PROLOGUE + """
+        ASK WHERE { ?d dcat:theme ?t } VALUES ?t { ex:themes/NOPE }""")
+    assert df.limit(1).count() == 0
+    df2 = sparql_df(dataset, PROLOGUE + """
+        ASK WHERE { ?d dcat:theme ?t } VALUES ?t { ex:themes/Risk }""")
+    assert df2.limit(1).count() == 1
+
+
+def test_year_over_non_datetime_is_unbound(dataset):
+    # ANSI mode: a non-dateTime lexical must yield unbound, not abort
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?y WHERE {
+            ?d dct:title ?t .
+            BIND(YEAR(?t) AS ?y)
+            FILTER(?d = ex:dataset/DS1)
+        }"""), "d", "y")
+    assert rows_ == [(_ds("DS1"), None)]
+
+
+def test_subquery_inside_graph_var_rejected(dataset):
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql(PROLOGUE + """
+            SELECT ?g ?d WHERE {
+                GRAPH ?g { { SELECT ?d WHERE { ?d dcat:theme ?t } } }
+            }""")
+
+
+def test_strbefore_null_propagates(dataset):
+    # STRBEFORE of an unbound var stays unbound (not "")
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?p WHERE {
+            ?d a dcat:Dataset .
+            OPTIONAL { ?d dct:title ?t . FILTER(?t = "NOPE") }
+            BIND(STRBEFORE(?t, "e") AS ?p)
+            FILTER(!BOUND(?p))
+        }"""), "d", "p")
+    assert len(rows_) == 3 and all(p is None for _, p in rows_)
+
+
+def test_subquery_own_dataset_not_merged(dataset):
+    # a subquery declaring FROM uses ONLY its own dataset — it must not
+    # inherit the outer FROM NAMED, so its GRAPH pattern matches nothing
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?t FROM NAMED <http://example.org/graph/g2> WHERE {
+            OPTIONAL {
+              { SELECT ?d ?t FROM <http://example.org/graph/g1>
+                WHERE { GRAPH ?gg { ?d dcat:theme ?t } } }
+            }
+            ?d a dcat:Dataset .
+        }"""), "d", "t")
+    assert all(t is None for _, t in rows_)
+
+
+def test_group_key_named_hv_no_collision(dataset):
+    # GROUP BY ?_hv1 must not collide with the synthesized HAVING alias
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?_hv1 (COUNT(?t) AS ?n) WHERE {
+            ?d dcat:theme ?t . BIND(STR(?d) AS ?_hv1)
+        } GROUP BY ?_hv1 HAVING(COUNT(?t) > 1)"""), "_hv1", "n")
+    assert rows_ == [(_ds("DS3"), 2)]
+
+
+def test_substr_xpath_nonpositive_start(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?a ?b WHERE {
+            ?d dct:title ?t . FILTER(?d = ex:dataset/DS1)
+            BIND(SUBSTR("motor", 0, 3) AS ?a)
+            BIND(SUBSTR("abc", 0 - 2, 2) AS ?b)
+        }"""), "a", "b")
+    assert rows_ == [("mo", "")]
+
+
+# -- [NOT] IN, term tests, hash builtins --------------------------------------
+
+
+def test_in_and_not_in(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?t WHERE {
+            ?d dcat:theme ?t .
+            FILTER(?t IN (ex:themes/Finance, ex:themes/Ops))
+        }"""), "d", "t")
+    assert len(rows_) == 3
+    rows2 = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?t WHERE {
+            ?d dcat:theme ?t .
+            FILTER(?t NOT IN (ex:themes/Finance, ex:themes/Ops))
+        }"""), "d", "t")
+    assert sorted(t for _, t in rows2) == [_theme("Marketing"), _theme("Risk")]
+
+
+def test_in_numeric_dispatch(dataset):
+    # numeric IN members force numeric comparison of lexical values
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d ?c WHERE {
+            <<?d dcat:theme ?t>> ex:confidence ?c .
+            FILTER(?c IN (0.95, 0.80))
+        }"""), "d", "c")
+    assert sorted(rows_) == [(_ds("DS1"), "0.95"), (_ds("DS2"), "0.80")]
+
+
+def test_term_kind_tests(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?o (ISIRI(?o) AS ?iri) (ISLITERAL(?o) AS ?lit)
+               (ISNUMERIC(?o) AS ?num) WHERE {
+            ex:dataset/DS1 ?p ?o .
+        }"""), "o", "iri", "lit", "num")
+    got = {o: (i, l, n) for o, i, l, n in rows_}
+    assert got["Customers"] == (False, True, False)
+    assert got[_theme("Finance")] == (True, False, False)
+    rows2 = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?c (ISNUMERIC(?c) AS ?n) WHERE {
+            <<ex:dataset/DS1 dcat:theme ?t>> ex:confidence ?c .
+        }"""), "c", "n")
+    assert rows2 == [("0.95", True)]
+
+
+def test_hash_and_encode_builtins(dataset):
+    import hashlib
+    from urllib.parse import quote
+
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?h ?e WHERE {
+            ?d dct:title ?t . FILTER(?d = ex:dataset/DS1)
+            BIND(SHA256(?t) AS ?h)
+            BIND(ENCODE_FOR_URI("a b/c") AS ?e)
+        }"""), "h", "e")
+    h, e = rows_[0]
+    assert h == hashlib.sha256(b"Customers").hexdigest()
+    assert e == quote("a b/c", safe="")
