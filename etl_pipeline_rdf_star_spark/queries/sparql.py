@@ -1616,9 +1616,6 @@ class _Planner:
             }
         return out, maybe
 
-    def group_df(self, g: Group) -> DataFrame:
-        return self._group(g)[0]
-
     def _group(self, g: Group) -> tuple[DataFrame, set[str]]:
         df: DataFrame | None = None
         maybe: set[str] = set()
@@ -1864,11 +1861,11 @@ class _Planner:
             if fn == "strlen":
                 return F.length(cols[0])
             if fn == "floor":
-                return F.floor(cols[0].cast("double"))
+                return F.floor(cols[0].try_cast("double"))
             if fn == "abs":
-                return F.abs(cols[0].cast("double"))
+                return F.abs(cols[0].try_cast("double"))
             if fn == "round":
-                return F.round(cols[0].cast("double"))
+                return F.round(cols[0].try_cast("double"))
             if fn == "ucase":
                 return F.upper(cols[0])
             if fn == "lcase":
@@ -1958,11 +1955,14 @@ class _Planner:
             if fn == "isnumeric":
                 return cols[0].cast("string").rlike(_NUM_RE.pattern)
             if fn == "encode_for_uri":
-                # url_encode is form-encoding (space → '+'); RFC 3986
-                # percent-encoding wants %20
-                return F.regexp_replace(
-                    F.url_encode(cols[0].cast("string")), r"\+", "%20"
-                )
+                # url_encode is Java form-encoding; XPath fn:encode-for-uri
+                # differs on three characters: space → %20 (not '+'),
+                # '~' is unreserved (must pass through), '*' is reserved
+                # (must become %2A) — review finding
+                enc = F.url_encode(cols[0].cast("string"))
+                enc = F.regexp_replace(enc, r"\+", "%20")
+                enc = F.regexp_replace(enc, "%7E", "~")
+                return F.regexp_replace(enc, r"\*", "%2A")
             if fn in ("md5", "sha1", "sha256", "sha384", "sha512"):
                 s = cols[0].cast("string")
                 if fn == "md5":
@@ -1985,14 +1985,17 @@ class _Planner:
             lcol = self._expr_col(left_e, df)
             vals = [self._expr_col(x, df) for x in items]
             if numeric:
-                lcol = lcol.cast("double")
-                vals = [v.cast("double") for v in vals]
+                # try_cast: a non-numeric lexical is a SPARQL type
+                # error (no match), not an ANSI cast crash (review
+                # finding)
+                lcol = lcol.try_cast("double")
+                vals = [v.try_cast("double") for v in vals]
             cond = F.lit(False)  # IN () = false; NOT IN () = true
             for v in vals:
                 cond = cond | (lcol == v)
             return ~cond if negated else cond
         if e.op in ("add", "sub", "mul", "div"):
-            a, b = (self._expr_col(x, df).cast("double") for x in e.args)
+            a, b = (self._expr_col(x, df).try_cast("double") for x in e.args)
             return {
                 "add": a + b, "sub": a - b, "mul": a * b, "div": a / b,
             }[e.op]
@@ -2001,7 +2004,7 @@ class _Planner:
             numeric = any(_numeric_expr(x) for x in (a_raw, b_raw))
             a, b = self._expr_col(a_raw, df), self._expr_col(b_raw, df)
             if numeric:
-                a, b = a.cast("double"), b.cast("double")
+                a, b = a.try_cast("double"), b.try_cast("double")
             return {
                 "=": a == b, "!=": a != b, "<": a < b,
                 ">": a > b, "<=": a <= b, ">=": a >= b,
@@ -2082,6 +2085,13 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
         df, gmaybe = planner._join(df, gmaybe, vdf, vmaybe, "inner")
 
     if q.form == "ask":
+        # LIMIT/OFFSET slice the solution sequence before the boolean is
+        # taken — ASK ... LIMIT 0 is false (review finding: the parsed
+        # modifiers were silently dropped)
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
         return df
     if q.form == "construct":
         parts = []
@@ -2162,7 +2172,7 @@ def _agg_col(a: Aggregate, df: DataFrame) -> Column:
         # SAMPLE = any value from the group; min() is a deterministic
         # choice the spec permits
         return F.min(a.var)
-    src = F.col(a.var).cast("double")
+    src = F.col(a.var).try_cast("double")
     col = getattr(F, a.fn)(src)
     if a.fn in ("sum", "avg"):
         col = F.round(col, 6)
@@ -2469,8 +2479,61 @@ def _select(
             raise SparqlUnsupported(
                 "non-aggregate SELECT expression mixed with aggregates"
             )
+        if "*" in q.projections:
+            # the grammar forbids '*' alongside (expr AS ?v); accepting
+            # it duplicated the alias column (review finding)
+            raise SparqlParseError("SELECT * cannot mix with (expr AS ?v)")
+        in_scope = _pattern_vars(q.where)
+        for b in q.select_binds:
+            if b.var in in_scope:
+                # SPARQL 18.2.1: the (expr AS ?v) target must not already
+                # be in scope; silently overwriting ?v's bindings is a
+                # wrong answer (review finding)
+                raise SparqlParseError(
+                    f"select expression reuses in-scope variable ?{b.var}"
+                )
         q.where.patterns.extend(q.select_binds)
     return q
+
+
+def _pattern_vars(g: Group) -> set[str]:
+    """Variables a group pattern can bind (for SELECT-expression scope
+    checks). MINUS right sides do not extend the outer scope."""
+    out: set[str] = set()
+
+    def term_vars(t: Term) -> None:
+        if t.kind == "var":
+            out.add(t.value)
+        elif t.kind == "quoted":
+            for x in t.value:
+                term_vars(x)
+
+    def walk(grp: Group) -> None:
+        for p in grp.patterns:
+            if isinstance(p, TriplePattern):
+                term_vars(p.s)
+                if p.p.kind != "path":
+                    term_vars(p.p)
+                term_vars(p.o)
+                if p.graph is not None:
+                    term_vars(p.graph)
+            elif isinstance(p, Optional_):
+                walk(p.group)
+            elif isinstance(p, UnionOp):
+                for sub in p.groups:
+                    walk(sub)
+            elif isinstance(p, Bind):
+                out.add(p.var)
+            elif isinstance(p, InlineData):
+                out.update(p.vars)
+            elif isinstance(p, SubSelect):
+                out.update(
+                    v for v in p.query.projections if v != "*"
+                )
+                out.update(a.alias for a in p.query.aggregates)
+
+    walk(g)
+    return out
 
 
 def _modifiers(self: _Parser, q: SelectQuery) -> None:

@@ -1458,3 +1458,51 @@ def test_hash_and_encode_builtins(dataset):
     h, e = rows_[0]
     assert h == hashlib.sha256(b"Customers").hexdigest()
     assert e == quote("a b/c", safe="")
+
+
+# -- third-pass review-finding regressions ------------------------------------
+
+
+def test_in_numeric_over_heterogeneous_column(dataset):
+    # numeric IN over a mixed object column: non-numeric lexicals are a
+    # type error (no match), not an ANSI cast crash
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?o WHERE {
+            ex:dataset/DS1 ?p ?o .
+            FILTER(?o IN (1, 2))
+        }"""), "o")
+    assert rows_ == []
+
+
+def test_numeric_compare_over_heterogeneous_column(dataset):
+    # same class for plain comparisons: IRIs/strings don't crash the job
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?o WHERE { ex:dataset/DS1 ?p ?o . FILTER(?o > 100) }"""), "o")
+    assert rows_ == []
+
+
+def test_encode_for_uri_xpath_deviations(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?e WHERE {
+            ?d dct:title ?t . FILTER(?d = ex:dataset/DS1)
+            BIND(ENCODE_FOR_URI("a~b*c d") AS ?e)
+        }"""), "e")
+    assert rows_ == [("a~b%2Ac%20d",)]
+
+
+def test_ask_limit_zero_is_false(dataset):
+    df = sparql_df(dataset, PROLOGUE + """
+        ASK WHERE { ?d a dcat:Dataset } LIMIT 0""")
+    assert df.limit(1).count() == 0
+
+
+def test_select_expr_reusing_inscope_var_rejected(dataset):
+    with pytest.raises(SparqlParseError):
+        parse_sparql(PROLOGUE + """
+            SELECT ?t (UCASE(?d) AS ?t) WHERE { ?d dct:title ?t }""")
+
+
+def test_select_star_with_expression_rejected(dataset):
+    with pytest.raises(SparqlParseError):
+        parse_sparql(PROLOGUE + """
+            SELECT * (STRLEN(?t) AS ?l) WHERE { ?d dct:title ?t }""")
