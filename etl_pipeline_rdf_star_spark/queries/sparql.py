@@ -1979,20 +1979,22 @@ class _Planner:
                 raise SparqlUnsupported(f"{fn}() needs term metadata")
         if e.op == "in":
             left_e, items, negated = e.args
-            numeric = _numeric_expr(left_e) or any(
-                _numeric_expr(x) for x in items
-            )
+            # IN is sugar for `?x = a || ?x = b`: each `=` does its OWN
+            # numeric-vs-string dispatch (review finding: a single
+            # whole-list numeric flag made `?o IN ("a", 1)` try_cast "a"
+            # to NULL on both sides, so the string member could never
+            # match). try_cast keeps a non-numeric lexical a SPARQL type
+            # error (NULL, error-tolerant through `|`), not an ANSI crash.
+            left_num = _numeric_expr(left_e)
             lcol = self._expr_col(left_e, df)
-            vals = [self._expr_col(x, df) for x in items]
-            if numeric:
-                # try_cast: a non-numeric lexical is a SPARQL type
-                # error (no match), not an ANSI cast crash (review
-                # finding)
-                lcol = lcol.try_cast("double")
-                vals = [v.try_cast("double") for v in vals]
+            lnum = lcol.try_cast("double")
             cond = F.lit(False)  # IN () = false; NOT IN () = true
-            for v in vals:
-                cond = cond | (lcol == v)
+            for x in items:
+                v = self._expr_col(x, df)
+                if left_num or _numeric_expr(x):
+                    cond = cond | (lnum == v.try_cast("double"))
+                else:
+                    cond = cond | (lcol == v)
             return ~cond if negated else cond
         if e.op in ("add", "sub", "mul", "div"):
             a, b = (self._expr_col(x, df).try_cast("double") for x in e.args)
@@ -2094,6 +2096,23 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
             df = df.limit(q.limit)
         return df
     if q.form == "construct":
+        # solution modifiers apply to the WHERE solution sequence BEFORE
+        # template instantiation (review finding: OFFSET was silently
+        # dropped and LIMIT sliced the instantiated triples instead)
+        if q.order_by:
+            keys = []
+            for item, desc in q.order_by:
+                cols = (
+                    [planner._expr_col(item, df)]
+                    if isinstance(item, Expr)
+                    else _order_key(item)
+                )
+                keys.extend(k.desc() if desc else k.asc() for k in cols)
+            df = df.orderBy(*keys)
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
         parts = []
         for tp in q.template:
             def term_col(t: Term) -> Column:
@@ -2139,8 +2158,6 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
             & F.col("predicate").isNotNull()
             & F.col("object").isNotNull()
         ).distinct()
-        if q.limit is not None:
-            out = out.limit(q.limit)
         return out
     raise SparqlUnsupported(f"query form {q.form!r}")
 
@@ -2172,11 +2189,23 @@ def _agg_col(a: Aggregate, df: DataFrame) -> Column:
         # SAMPLE = any value from the group; min() is a deterministic
         # choice the spec permits
         return F.min(a.var)
-    src = F.col(a.var).try_cast("double")
-    col = getattr(F, a.fn)(src)
-    if a.fn in ("sum", "avg"):
-        col = F.round(col, 6)
-    return col
+    raw = F.col(a.var).cast("string")
+    num = raw.try_cast("double")
+    if a.fn in ("min", "max"):
+        # MIN/MAX order by the `<` operator, which works on strings too
+        # (review finding: a blanket double cast made MIN over titles
+        # return unbound). Order by (numeric, raw) — numeric lexicals
+        # compare numerically ("9" < "10"), everything else lexically —
+        # and return the group member's original lexical form.
+        key = F.struct(num.alias("n"), raw.alias("r"))
+        return getattr(F, a.fn)(key).getField("r")
+    # SUM/AVG: op:numeric-add errors on any non-numeric member, making
+    # the whole aggregate unbound — NOT a silently-partial sum over the
+    # castable members (review finding). Unbound (NULL) members are
+    # skipped, as the multiset of values excludes unbound.
+    err = F.max(raw.isNotNull() & num.isNull())
+    col = F.round(getattr(F, a.fn)(num), 6)
+    return F.when(err, F.lit(None).cast("double")).otherwise(col)
 
 
 def _select_frame(
@@ -2484,14 +2513,20 @@ def _select(
             # it duplicated the alias column (review finding)
             raise SparqlParseError("SELECT * cannot mix with (expr AS ?v)")
         in_scope = _pattern_vars(q.where)
+        if q.values is not None:
+            # the trailing VALUES clause also puts its vars in scope
+            in_scope |= set(q.values.vars)
         for b in q.select_binds:
             if b.var in in_scope:
                 # SPARQL 18.2.1: the (expr AS ?v) target must not already
-                # be in scope; silently overwriting ?v's bindings is a
-                # wrong answer (review finding)
+                # be in scope — including a target assigned by an EARLIER
+                # expression in the same SELECT clause (review finding:
+                # `(1 AS ?x) (2 AS ?x)` silently kept the last one);
+                # silently overwriting ?v's bindings is a wrong answer
                 raise SparqlParseError(
                     f"select expression reuses in-scope variable ?{b.var}"
                 )
+            in_scope.add(b.var)
         q.where.patterns.extend(q.select_binds)
     return q
 
@@ -2527,9 +2562,15 @@ def _pattern_vars(g: Group) -> set[str]:
             elif isinstance(p, InlineData):
                 out.update(p.vars)
             elif isinstance(p, SubSelect):
-                out.update(
-                    v for v in p.query.projections if v != "*"
-                )
+                if "*" in p.query.projections:
+                    # SELECT * projects every variable its WHERE binds
+                    # (review finding: treating it as binding nothing let
+                    # the select-expression overwrite check miss it)
+                    walk(p.query.where)
+                else:
+                    out.update(
+                        v for v in p.query.projections if v != "*"
+                    )
                 out.update(a.alias for a in p.query.aggregates)
 
     walk(g)

@@ -230,9 +230,11 @@ def test_group_by_multi_aggregate(dataset):
         } GROUP BY ?source ORDER BY DESC(?avgConf)
     """)
     got = rows(df, "source", "n", "avgConf", "minConf", "maxConf")
+    # MIN/MAX return the group member's original lexical form (SPARQL
+    # `<` ordering picks a value; it does not coerce the result)
     assert got == [
-        (_sys("COLLIBRA"), 1, 0.95, 0.95, 0.95),
-        (_sys("ATLAN"), 2, 0.86, 0.8, 0.92),
+        (_sys("COLLIBRA"), 1, 0.95, "0.95", "0.95"),
+        (_sys("ATLAN"), 2, 0.86, "0.80", "0.92"),
     ]
 
 
@@ -1506,3 +1508,98 @@ def test_select_star_with_expression_rejected(dataset):
     with pytest.raises(SparqlParseError):
         parse_sparql(PROLOGUE + """
             SELECT * (STRLEN(?t) AS ?l) WHERE { ?d dct:title ?t }""")
+
+
+# -- fourth-pass review-finding regressions -----------------------------------
+
+
+def test_sum_avg_error_on_non_numeric_member(dataset):
+    # SUM/AVG over a group containing a non-numeric lexical is a SPARQL
+    # type error -> the aggregate is unbound, NOT a partial sum over the
+    # castable members (review finding)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT (SUM(?o) AS ?s) (AVG(?o) AS ?a) WHERE {
+            ex:dataset/DS1 ?p ?o .
+        }"""), "s", "a")
+    assert rows_ == [(None, None)]
+    # ...while an all-numeric group still sums
+    rows2 = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT (SUM(?c) AS ?s) WHERE {
+            <<?d dcat:theme ?t>> ex:confidence ?c .
+        }"""), "s")
+    assert rows2 == [(2.67,)]
+
+
+def test_min_max_over_strings(dataset):
+    # MIN/MAX use the `<` ordering, which exists for strings too (review
+    # finding: a blanket double cast returned unbound for titles)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT (MIN(?t) AS ?lo) (MAX(?t) AS ?hi) WHERE {
+            ?d dct:title ?t .
+        }"""), "lo", "hi")
+    assert rows_ == [("Customers", "Revenue")]
+
+
+def test_min_orders_numeric_lexicals_numerically(spark):
+    # "9" < "10" numerically even though "10" < "9" lexically
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [("s1", EX + "n", "9", None), ("s2", EX + "n", "10", None)],
+            "subject string, predicate string, object string, graph string",
+        ),
+        annotations=spark.createDataFrame(
+            [],
+            "q_s string, q_p string, q_o string, predicate string, object string",
+        ),
+    )
+    rows_ = rows(sparql_df(ds, PROLOGUE + """
+        SELECT (MIN(?v) AS ?lo) (MAX(?v) AS ?hi)
+        WHERE { ?s <http://example.org/n> ?v }"""), "lo", "hi")
+    assert rows_ == [("9", "10")]
+
+
+def test_select_star_subquery_vars_are_in_scope(dataset):
+    # a SELECT * subquery projects everything its WHERE binds, so a
+    # select expression reusing one of those vars must be rejected
+    # (review finding: '*' was treated as binding nothing)
+    with pytest.raises(SparqlParseError):
+        parse_sparql(PROLOGUE + """
+            SELECT (1 AS ?o) WHERE {
+                { SELECT * WHERE { ?s ?p ?o } }
+            }""")
+
+
+def test_duplicate_select_expression_alias_rejected(dataset):
+    # SPARQL 18.2.1: a target assigned earlier in the SAME select clause
+    # is in scope for later expressions' targets
+    with pytest.raises(SparqlParseError):
+        parse_sparql(PROLOGUE + """
+            SELECT (1 AS ?x) (2 AS ?x) WHERE { ?s ?p ?o }""")
+
+
+def test_select_expression_vs_trailing_values_rejected(dataset):
+    with pytest.raises(SparqlParseError):
+        parse_sparql(PROLOGUE + """
+            SELECT (1 AS ?x) WHERE { ?s ?p ?o } VALUES ?x { 2 }""")
+
+
+def test_construct_applies_offset_and_limit_to_solutions(dataset):
+    # modifiers slice the ORDERED solution sequence before template
+    # instantiation (review finding: OFFSET was dropped entirely)
+    doc = execute_sparql(dataset, PROLOGUE + """
+        CONSTRUCT { ?d ex:title ?t } WHERE { ?d dct:title ?t }
+        ORDER BY ?t OFFSET 1 LIMIT 1""")
+    assert doc["count"] == 1
+    assert "Orders" in doc["triples"][0]
+
+
+def test_in_mixed_member_list_matches_string(dataset):
+    # ?o IN ("Customers", 1) = (?o = "Customers") || (?o = 1): the string
+    # member must still match even though another member is numeric
+    # (review finding: one whole-list cast nulled the string comparison)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?t WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            FILTER(?t IN ("Customers", 1))
+        }"""), "t")
+    assert rows_ == [("Customers",)]
