@@ -1651,6 +1651,19 @@ def q_sparql_minus_low_confidence(spark: SparkSession, sf_dir: str) -> DataFrame
         }""")
 
 
+def q_sparql_describe_de_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DESCRIBE`` (SPARQL 1.1 §16.4) through the front end — the
+    subject-CBD the reference's pyoxigraph endpoint serves
+    (fastapi_sparql_server.py handles all four query forms): every
+    asserted triple whose subject is a German-language file node. The
+    described node set broadcast-semi-joins the triple scan."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        DESCRIBE ?f WHERE { ?f ex:lang "de" }""")
+
+
 def q_sparql_having_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``HAVING`` over an aggregate call (SPARQL 1.1 §11.3): repos with
     more than 40 live files — the aggregate in the constraint becomes a
@@ -1819,6 +1832,17 @@ WITH final AS (SELECT * FROM {_FINAL_SQL} f)
 SELECT {_SUBJ} AS subject, lang AS lang_value
 FROM final
 WHERE round((length(content) % 100) / 100.0, 2) <= 0.5""",
+    ),
+    "sparql_describe_de_files": QueryEntry(
+        q_sparql_describe_de_files,
+        f"""
+WITH asserted AS (SELECT subject, predicate, object FROM ({_ASSERTED_SQL}) a),
+nodes AS (SELECT DISTINCT subject FROM asserted
+          WHERE predicate = 'http://example.org/lang' AND object = 'de')
+SELECT DISTINCT a.subject, a.predicate, a.object,
+       CASE WHEN regexp_matches(a.object, '^(https?|urn|file|ftp):')
+            THEN 'iri' ELSE 'literal' END AS object_kind
+FROM asserted a JOIN nodes n ON a.subject = n.subject""",
     ),
     "sparql_having_repos": QueryEntry(
         q_sparql_having_repos, _SPARQL_HAVING_REPOS_SQL

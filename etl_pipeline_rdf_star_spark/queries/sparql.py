@@ -213,6 +213,9 @@ class SelectQuery:
     # non-aggregate SELECT expressions (expr AS ?v), desugared to BINDs
     # appended after the WHERE group's patterns
     select_binds: list = field(default_factory=list)
+    # DESCRIBE resources: Terms of kind "var" | "iri" (projections holds
+    # ["*"] for DESCRIBE *)
+    describe_terms: list = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +223,8 @@ class SelectQuery:
 # ---------------------------------------------------------------------------
 
 _KEYWORDS = {
-    "select", "ask", "construct", "where", "prefix", "base", "optional",
+    "select", "ask", "construct", "describe", "where", "prefix", "base",
+    "optional",
     "filter", "union", "graph", "distinct", "order", "by", "asc", "desc",
     "limit", "offset", "group", "as", "a", "count", "sum", "avg", "min",
     "max", "regex", "bound", "str", "lang", "datatype", "true", "false",
@@ -467,6 +471,55 @@ class _Parser:
             # grammar; skipping this silently ignored a trailing VALUES
             # (review finding)
             self._modifiers(q)
+            return q
+        if tok == ("kw", "describe"):
+            # SPARQL 1.1 §16.4: DESCRIBE (VarOrIri+ | '*') DatasetClause*
+            # WhereClause? SolutionModifier. We implement the common CBD
+            # subset the reference endpoint serves: every asserted triple
+            # whose SUBJECT is a described node.
+            q = SelectQuery(
+                "describe", [], [], Group(), [], [], None, None, False
+            )
+            star = False
+            while True:
+                t2 = self.lx.peek()
+                if t2 == ("*", None):
+                    self.lx.next()
+                    star = True
+                elif t2 is not None and t2[0] in ("var", "iri", "pname"):
+                    kind, val = self.lx.next()
+                    if kind == "var":
+                        q.describe_terms.append(Term("var", val))
+                    else:
+                        q.describe_terms.append(Term(
+                            "iri", val if kind == "iri" else self._expand(val)
+                        ))
+                else:
+                    break
+            if star:
+                if q.describe_terms:
+                    raise SparqlParseError(
+                        "DESCRIBE * cannot mix with explicit resources"
+                    )
+                q.projections = ["*"]
+            elif not q.describe_terms:
+                raise SparqlParseError(
+                    "DESCRIBE needs a resource, a variable, or *"
+                )
+            _parse_dataset_clauses(self, q)
+            nxt = self.lx.peek()
+            if nxt == ("kw", "where") or nxt == ("{", None):
+                if nxt == ("kw", "where"):
+                    self.lx.next()
+                q.where = self._group()
+            self._modifiers(q)
+            if not q.where.patterns:
+                if star:
+                    raise SparqlParseError("DESCRIBE * requires WHERE")
+                if any(t.kind == "var" for t in q.describe_terms):
+                    raise SparqlParseError(
+                        "DESCRIBE ?var requires a WHERE pattern binding it"
+                    )
             return q
         if tok == ("kw", "construct"):
             template = self._template()
@@ -2077,6 +2130,8 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
         return out
     if q.having:
         raise SparqlUnsupported(f"HAVING on an {q.form.upper()} query")
+    if q.form == "describe":
+        return _describe_df(planner, q)
     df, gmaybe = planner._group(q.where)
     if q.values is not None:
         # trailing VALUES restricts the solutions (review finding: it
@@ -2099,20 +2154,7 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
         # solution modifiers apply to the WHERE solution sequence BEFORE
         # template instantiation (review finding: OFFSET was silently
         # dropped and LIMIT sliced the instantiated triples instead)
-        if q.order_by:
-            keys = []
-            for item, desc in q.order_by:
-                cols = (
-                    [planner._expr_col(item, df)]
-                    if isinstance(item, Expr)
-                    else _order_key(item)
-                )
-                keys.extend(k.desc() if desc else k.asc() for k in cols)
-            df = df.orderBy(*keys)
-        if q.offset:
-            df = df.offset(q.offset)
-        if q.limit is not None:
-            df = df.limit(q.limit)
+        df = _slice_solutions(planner, q, df)
         parts = []
         for tp in q.template:
             def term_col(t: Term) -> Column:
@@ -2160,6 +2202,86 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
         ).distinct()
         return out
     raise SparqlUnsupported(f"query form {q.form!r}")
+
+
+def _slice_solutions(
+    planner: "_Planner", q: SelectQuery, df: DataFrame
+) -> DataFrame:
+    """Apply ORDER BY / OFFSET / LIMIT to a solution sequence (shared by
+    CONSTRUCT and DESCRIBE, which slice solutions before instantiation)."""
+    if q.order_by:
+        keys = []
+        for item, desc in q.order_by:
+            cols = (
+                [planner._expr_col(item, df)]
+                if isinstance(item, Expr)
+                else _order_key(item)
+            )
+            keys.extend(k.desc() if desc else k.asc() for k in cols)
+        df = df.orderBy(*keys)
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+def _describe_df(planner: "_Planner", q: SelectQuery) -> DataFrame:
+    """DESCRIBE: every asserted triple whose subject is a described node
+    (the simple subject-CBD the reference's pyoxigraph endpoint serves).
+    Described nodes = the explicit IRIs plus the values the WHERE
+    solutions bind to the DESCRIBE variables. The node set is small by
+    construction, so it broadcast-semi-joins against the triple scan —
+    no shuffle of the (large) triple relation."""
+    ds = planner.ds
+    spark = ds.triples.sparkSession
+    iris = [t.value for t in q.describe_terms if t.kind == "iri"]
+    vars_ = [t.value for t in q.describe_terms if t.kind == "var"]
+    parts: list[DataFrame] = []
+    if q.where.patterns or q.where.filters:
+        sol, _ = planner._group(q.where)
+        if q.values is not None:
+            vdf, vmaybe = planner._values_df(q.values)
+            sol, _ = planner._join(sol, set(), vdf, vmaybe, "inner")
+        sol = _slice_solutions(planner, q, sol)
+        if q.projections == ["*"]:
+            vars_ = list(sol.columns)
+        missing = [v for v in vars_ if v not in sol.columns]
+        if missing:
+            raise SparqlParseError(
+                f"DESCRIBE variable ?{missing[0]} is not bound by WHERE"
+            )
+        for v in vars_:
+            parts.append(
+                sol.select(F.col(v).cast("string").alias("node"))
+                .where(F.col("node").isNotNull())
+            )
+    if iris:
+        parts.append(
+            spark.createDataFrame([(i,) for i in iris], "node string")
+        )
+    nodes = parts[0]
+    for p in parts[1:]:
+        nodes = nodes.unionByName(p)
+    nodes = nodes.distinct()
+    tri = planner._dataset_scope(
+        ds.triples,
+        TriplePattern(Term("var", "s"), Term("var", "p"), Term("var", "o")),
+    )
+    out = tri.join(
+        F.broadcast(nodes), tri["subject"] == nodes["node"], "left_semi"
+    )
+    from ..serving import _IRI_RE
+
+    obj = F.col("object").cast("string")
+    return out.select(
+        F.col("subject").cast("string").alias("subject"),
+        F.col("predicate").cast("string").alias("predicate"),
+        obj.alias("object"),
+        F.when(obj.rlike(_IRI_RE.pattern), F.lit("iri"))
+        .otherwise(F.lit("literal"))
+        .alias("object_kind"),
+    ).distinct()
 
 
 def _agg_col(a: Aggregate, df: DataFrame) -> Column:
@@ -2302,7 +2424,7 @@ def execute_sparql(ds: SparqlDataset, query: str, limit: int = 10_000) -> dict:
     df = sparql_df(ds, q)
     if q.form == "ask":
         return to_ask_json(df)
-    if q.form == "construct":
+    if q.form in ("construct", "describe"):
         return to_construct_json(df, limit=limit)
     return to_sparql_json(df, limit=limit)
 

@@ -386,8 +386,6 @@ def test_select_json_document_shape(dataset):
 
 def test_unsupported_is_loud():
     with pytest.raises((SparqlUnsupported, SparqlParseError)):
-        parse_sparql("DESCRIBE <http://example.org/x>")
-    with pytest.raises((SparqlUnsupported, SparqlParseError)):
         parse_sparql(
             "SELECT ?x WHERE { SERVICE <http://remote/sparql> { ?x ?p ?o } }"
         )
@@ -1603,3 +1601,74 @@ def test_in_mixed_member_list_matches_string(dataset):
             FILTER(?t IN ("Customers", 1))
         }"""), "t")
     assert rows_ == [("Customers",)]
+
+
+# -- DESCRIBE (SPARQL 1.1 §16.4) ----------------------------------------------
+
+
+def test_describe_iri(dataset):
+    # subject-CBD of an explicit resource, no WHERE clause
+    doc = execute_sparql(dataset, PROLOGUE + """
+        DESCRIBE <http://example.org/dataset/DS1>""")
+    assert doc["count"] == 3  # type, title, theme
+    assert all("<http://example.org/dataset/DS1>" in s for s in doc["triples"])
+
+
+def test_describe_var_with_where(dataset):
+    # nodes come from the WHERE solutions; DS1/DS3 share the Finance theme
+    df = sparql_df(dataset, PROLOGUE + """
+        DESCRIBE ?d WHERE { ?d dcat:theme <http://example.org/themes/Finance> }""")
+    rows_ = rows(df, "subject", "predicate", "object", "object_kind")
+    assert {r[0] for r in rows_} == {_ds("DS1"), _ds("DS3")}
+    assert len(rows_) == 7  # 3 DS1 + 4 DS3 (two themes)
+    kinds = {(r[1], r[3]) for r in rows_}
+    assert (DCAT + "theme", "iri") in kinds
+    assert (DCT + "title", "literal") in kinds
+
+
+def test_describe_mixed_iri_and_var(dataset):
+    df = sparql_df(dataset, PROLOGUE + """
+        DESCRIBE ?d <http://example.org/dataset/DS2>
+        WHERE { ?d dct:title "Customers" }""")
+    assert {r["subject"] for r in df.collect()} == {_ds("DS1"), _ds("DS2")}
+
+
+def test_describe_star(dataset):
+    # DESCRIBE * describes every variable the WHERE binds — here both the
+    # dataset and its (IRI) theme
+    df = sparql_df(dataset, PROLOGUE + """
+        DESCRIBE * WHERE {
+            ?d dcat:theme ?t . FILTER(?d = <http://example.org/dataset/DS2>)
+        }""")
+    subjects = {r["subject"] for r in df.collect()}
+    assert subjects == {_ds("DS2")}  # the theme IRI has no asserted triples
+
+
+def test_describe_parse_errors(dataset):
+    with pytest.raises(SparqlParseError):
+        parse_sparql("DESCRIBE")
+    with pytest.raises(SparqlParseError):
+        parse_sparql("DESCRIBE ?x")  # var without WHERE
+    with pytest.raises(SparqlParseError):
+        parse_sparql("DESCRIBE * <http://example.org/x>")
+    with pytest.raises(SparqlParseError):
+        # var not bound by the WHERE pattern
+        sparql_df(dataset, PROLOGUE + """
+            DESCRIBE ?nope WHERE { ?d dct:title ?t }""")
+
+
+def test_describe_limit_slices_solutions(dataset):
+    # LIMIT bounds the WHERE solution sequence (ordered for determinism),
+    # not the output triples
+    df = sparql_df(dataset, PROLOGUE + """
+        DESCRIBE ?d WHERE { ?d a dcat:Dataset } ORDER BY ?d LIMIT 1""")
+    assert {r["subject"] for r in df.collect()} == {_ds("DS1")}
+
+
+def test_describe_broadcasts_node_set(dataset):
+    # the small described-node set must broadcast-semi-join the triple
+    # scan, never shuffle the triple relation
+    df = sparql_df(dataset, PROLOGUE + """
+        DESCRIBE ?d WHERE { ?d a dcat:Dataset }""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
