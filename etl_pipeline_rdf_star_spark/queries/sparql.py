@@ -2130,6 +2130,9 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
         return out
     if q.having:
         raise SparqlUnsupported(f"HAVING on an {q.form.upper()} query")
+    if q.group_by:
+        # parsed-then-ignored clauses are wrong answers (review finding)
+        raise SparqlUnsupported(f"GROUP BY on a {q.form.upper()} query")
     if q.form == "describe":
         return _describe_df(planner, q)
     df, gmaybe = planner._group(q.where)
@@ -2176,12 +2179,7 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
                 # copy once rendered urn:/file: IRIs as quoted literals);
                 # constants know their kind from the parse
                 if t.kind == "var":
-                    from ..serving import _IRI_RE
-
-                    return F.when(
-                        F.col(t.value).cast("string").rlike(_IRI_RE.pattern),
-                        F.lit("iri"),
-                    ).otherwise(F.lit("literal"))
+                    return _object_kind_col(F.col(t.value).cast("string"))
                 return F.lit("iri" if t.kind == "iri" else "literal")
 
             parts.append(
@@ -2226,61 +2224,96 @@ def _slice_solutions(
     return df
 
 
+def _object_kind_col(obj: Column) -> Column:
+    """IRI-vs-literal sniff for a lexical object column (shared by the
+    CONSTRUCT and DESCRIBE result shapes; the scheme set is imported from
+    serving so the sniffs cannot drift)."""
+    from ..serving import _IRI_RE
+
+    return (
+        F.when(obj.rlike(_IRI_RE.pattern), F.lit("iri"))
+        .otherwise(F.lit("literal"))
+    )
+
+
 def _describe_df(planner: "_Planner", q: SelectQuery) -> DataFrame:
     """DESCRIBE: every asserted triple whose subject is a described node
     (the simple subject-CBD the reference's pyoxigraph endpoint serves).
     Described nodes = the explicit IRIs plus the values the WHERE
-    solutions bind to the DESCRIBE variables. The node set is small by
-    construction, so it broadcast-semi-joins against the triple scan —
-    no shuffle of the (large) triple relation."""
+    solutions bind to the DESCRIBE variables."""
     ds = planner.ds
     spark = ds.triples.sparkSession
     iris = [t.value for t in q.describe_terms if t.kind == "iri"]
     vars_ = [t.value for t in q.describe_terms if t.kind == "var"]
     parts: list[DataFrame] = []
-    if q.where.patterns or q.where.filters:
-        sol, _ = planner._group(q.where)
+    var_derived = False
+    if q.where.patterns:
+        sol, smaybe = planner._group(q.where)
         if q.values is not None:
+            # thread the group's maybe-set through: an OPTIONAL-unbound
+            # var joins the VALUES rows as a compatible mapping; an empty
+            # left maybe-set would inner-equi-join and silently drop
+            # null-keyed solutions (review finding)
             vdf, vmaybe = planner._values_df(q.values)
-            sol, _ = planner._join(sol, set(), vdf, vmaybe, "inner")
+            sol, _ = planner._join(sol, smaybe, vdf, vmaybe, "inner")
         sol = _slice_solutions(planner, q, sol)
         if q.projections == ["*"]:
-            vars_ = list(sol.columns)
+            # internal _oneN marker columns (constant-only patterns) are
+            # not query variables (review finding)
+            vars_ = [
+                c for c in sol.columns if not re.match(r"^_one\d+$", c)
+            ]
         missing = [v for v in vars_ if v not in sol.columns]
         if missing:
             raise SparqlParseError(
                 f"DESCRIBE variable ?{missing[0]} is not bound by WHERE"
             )
         for v in vars_:
+            var_derived = True
             parts.append(
                 sol.select(F.col(v).cast("string").alias("node"))
                 .where(F.col("node").isNotNull())
             )
+    elif q.where.filters:
+        # a filters-only group would hit _group's "empty group pattern"
+        # error with a misleading message; per spec it filters the single
+        # empty solution — not a pattern this front end serves
+        raise SparqlUnsupported("DESCRIBE WHERE with filters but no patterns")
+    else:
+        # no WHERE: the solution sequence is one empty solution — LIMIT 0
+        # or a positive OFFSET slices it away and nothing is described
+        # (review finding: modifiers were parsed then silently ignored)
+        if q.values is not None:
+            raise SparqlUnsupported("VALUES on a WHERE-less DESCRIBE")
+        if q.offset or (q.limit is not None and q.limit < 1):
+            iris = []
     if iris:
         parts.append(
             spark.createDataFrame([(i,) for i in iris], "node string")
         )
+    if not parts:
+        parts.append(spark.createDataFrame([], "node string"))
     nodes = parts[0]
     for p in parts[1:]:
         nodes = nodes.unionByName(p)
     nodes = nodes.distinct()
+    if not var_derived:
+        # explicit IRIs are bounded by the query text — always broadcast;
+        # a var-derived node set grows with the data, so leave the join
+        # strategy to Catalyst/AQE (review finding: a forced broadcast of
+        # an unbounded set collects it driver-side at scale)
+        nodes = F.broadcast(nodes)
     tri = planner._dataset_scope(
         ds.triples,
         TriplePattern(Term("var", "s"), Term("var", "p"), Term("var", "o")),
     )
-    out = tri.join(
-        F.broadcast(nodes), tri["subject"] == nodes["node"], "left_semi"
-    )
-    from ..serving import _IRI_RE
-
+    out = tri.join(nodes, tri["subject"] == nodes["node"], "left_semi")
     obj = F.col("object").cast("string")
     return out.select(
         F.col("subject").cast("string").alias("subject"),
         F.col("predicate").cast("string").alias("predicate"),
         obj.alias("object"),
-        F.when(obj.rlike(_IRI_RE.pattern), F.lit("iri"))
-        .otherwise(F.lit("literal"))
-        .alias("object_kind"),
+        _object_kind_col(obj).alias("object_kind"),
     ).distinct()
 
 

@@ -1665,10 +1665,63 @@ def test_describe_limit_slices_solutions(dataset):
     assert {r["subject"] for r in df.collect()} == {_ds("DS1")}
 
 
-def test_describe_broadcasts_node_set(dataset):
-    # the small described-node set must broadcast-semi-join the triple
-    # scan, never shuffle the triple relation
+def test_describe_broadcasts_explicit_iri_node_set(dataset):
+    # an explicit-IRI node set is bounded by the query text: it must
+    # broadcast-semi-join the triple scan, never shuffle the triples.
+    # A var-derived node set grows with the data, so its join strategy
+    # is left to Catalyst/AQE (no forced broadcast — review finding).
     df = sparql_df(dataset, PROLOGUE + """
-        DESCRIBE ?d WHERE { ?d a dcat:Dataset }""")
+        DESCRIBE <http://example.org/dataset/DS1>
+                 <http://example.org/dataset/DS2>""")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_describe_values_keeps_optional_unbound_compatible(dataset):
+    # trailing VALUES joins as a compatible mapping: a solution whose
+    # OPTIONAL var is unbound is compatible with every VALUES row and
+    # must still be described (review finding: an empty left maybe-set
+    # inner-equi-joined on the null key and dropped it)
+    df = sparql_df(dataset, PROLOGUE + """
+        DESCRIBE ?c WHERE {
+            ?c a owl:Class .
+            OPTIONAL { ?c rdfs:label ?label }
+        } VALUES ?label { "Dataset" }""")
+    subjects = {r["subject"] for r in df.collect()}
+    # dcat:Dataset has the label; prov:Activity has NO label row but its
+    # unbound ?label is compatible with the VALUES binding
+    assert subjects == {DCAT + "Dataset", PROV + "Activity"}
+
+
+def test_describe_whereless_modifiers_slice_the_empty_solution(dataset):
+    # no WHERE = one empty solution; LIMIT 0 / OFFSET 1 slice it away
+    for mod in ("LIMIT 0", "OFFSET 1"):
+        df = sparql_df(dataset, PROLOGUE + f"""
+            DESCRIBE <http://example.org/dataset/DS1> {mod}""")
+        assert df.count() == 0
+    with pytest.raises(SparqlUnsupported):
+        sparql_df(dataset, PROLOGUE + """
+            DESCRIBE <http://example.org/dataset/DS1> VALUES ?x { 1 }""")
+    with pytest.raises(SparqlUnsupported):
+        sparql_df(dataset, PROLOGUE + """
+            DESCRIBE <http://example.org/dataset/DS1> WHERE { FILTER(true) }""")
+
+
+def test_describe_star_skips_internal_marker_columns(dataset):
+    # a constant-only existence pattern contributes an internal _oneN
+    # column; DESCRIBE * must not treat it as a described node
+    df = sparql_df(dataset, PROLOGUE + """
+        DESCRIBE * WHERE {
+            ?d dct:title "Customers" .
+            <http://example.org/dataset/DS2> a dcat:Dataset .
+        }""")
+    assert {r["subject"] for r in df.collect()} == {_ds("DS1")}
+
+
+def test_group_by_rejected_on_non_select_forms(dataset):
+    with pytest.raises(SparqlUnsupported):
+        sparql_df(dataset, PROLOGUE + """
+            DESCRIBE ?d WHERE { ?d a dcat:Dataset } GROUP BY ?d""")
+    with pytest.raises(SparqlUnsupported):
+        sparql_df(dataset, PROLOGUE + """
+            ASK WHERE { ?d a dcat:Dataset } GROUP BY ?d""")
