@@ -1656,7 +1656,8 @@ def q_sparql_describe_de_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     subject-CBD the reference's pyoxigraph endpoint serves
     (fastapi_sparql_server.py handles all four query forms): every
     asserted triple whose subject is a German-language file node. The
-    described node set broadcast-semi-joins the triple scan."""
+    var-derived node set grows with the data, so the semi-join strategy
+    is left to Catalyst/AQE (explicit-IRI describes force a broadcast)."""
     from .sparql import sparql_df
 
     return sparql_df(_sparql_dataset(spark, sf_dir), """

@@ -1159,8 +1159,17 @@ _COUNTER = [0]
 
 
 def _fresh(prefix: str) -> str:
+    """Internal column name. The '#' cannot appear in a SPARQL variable
+    name, so a marker can never collide with (or be mistaken for) a user
+    variable like ?_one5 (review finding: name-based filters stripped
+    legal user variables)."""
     _COUNTER[0] += 1
-    return f"_{prefix}{_COUNTER[0]}"
+    return f"_{prefix}#{_COUNTER[0]}"
+
+
+# matches every _fresh-generated marker; the single definition keeps the
+# SELECT * and DESCRIBE * filters from drifting (review finding)
+_MARKER_RE = re.compile(r"^_\w+#\d+$")
 
 
 def _path_nullable(p: Path) -> bool:
@@ -2240,7 +2249,11 @@ def _describe_df(planner: "_Planner", q: SelectQuery) -> DataFrame:
     """DESCRIBE: every asserted triple whose subject is a described node
     (the simple subject-CBD the reference's pyoxigraph endpoint serves).
     Described nodes = the explicit IRIs plus the values the WHERE
-    solutions bind to the DESCRIBE variables."""
+    solutions bind to the DESCRIBE variables. Per SPARQL 1.1 §16.4 the
+    explicit IRIs are described regardless of the solution sequence —
+    modifiers and VALUES shape only the variable-derived nodes (review
+    finding: an earlier draft sliced IRIs away on a WHERE-less LIMIT 0
+    but not on an empty WHERE, two branches with opposite semantics)."""
     ds = planner.ds
     spark = ds.triples.sparkSession
     iris = [t.value for t in q.describe_terms if t.kind == "iri"]
@@ -2261,15 +2274,15 @@ def _describe_df(planner: "_Planner", q: SelectQuery) -> DataFrame:
             # internal _oneN marker columns (constant-only patterns) are
             # not query variables (review finding)
             vars_ = [
-                c for c in sol.columns if not re.match(r"^_one\d+$", c)
+                c for c in sol.columns if not _MARKER_RE.match(c)
             ]
         missing = [v for v in vars_ if v not in sol.columns]
         if missing:
             raise SparqlParseError(
                 f"DESCRIBE variable ?{missing[0]} is not bound by WHERE"
             )
+        var_derived = bool(vars_)
         for v in vars_:
-            var_derived = True
             parts.append(
                 sol.select(F.col(v).cast("string").alias("node"))
                 .where(F.col("node").isNotNull())
@@ -2279,14 +2292,6 @@ def _describe_df(planner: "_Planner", q: SelectQuery) -> DataFrame:
         # error with a misleading message; per spec it filters the single
         # empty solution — not a pattern this front end serves
         raise SparqlUnsupported("DESCRIBE WHERE with filters but no patterns")
-    else:
-        # no WHERE: the solution sequence is one empty solution — LIMIT 0
-        # or a positive OFFSET slices it away and nothing is described
-        # (review finding: modifiers were parsed then silently ignored)
-        if q.values is not None:
-            raise SparqlUnsupported("VALUES on a WHERE-less DESCRIBE")
-        if q.offset or (q.limit is not None and q.limit < 1):
-            iris = []
     if iris:
         parts.append(
             spark.createDataFrame([(i,) for i in iris], "node string")
@@ -2423,7 +2428,7 @@ def _select_frame(
     else:
         # SELECT *: internal existence-marker columns from variable-free
         # patterns are not query variables (review finding)
-        df = df.drop(*[c for c in df.columns if re.match(r"^_one\d+$", c)])
+        df = df.drop(*[c for c in df.columns if _MARKER_RE.match(c)])
     if q.distinct:
         df = df.distinct()
     if q.order_by:

@@ -1693,15 +1693,20 @@ def test_describe_values_keeps_optional_unbound_compatible(dataset):
     assert subjects == {DCAT + "Dataset", PROV + "Activity"}
 
 
-def test_describe_whereless_modifiers_slice_the_empty_solution(dataset):
-    # no WHERE = one empty solution; LIMIT 0 / OFFSET 1 slice it away
-    for mod in ("LIMIT 0", "OFFSET 1"):
-        df = sparql_df(dataset, PROLOGUE + f"""
-            DESCRIBE <http://example.org/dataset/DS1> {mod}""")
-        assert df.count() == 0
-    with pytest.raises(SparqlUnsupported):
-        sparql_df(dataset, PROLOGUE + """
-            DESCRIBE <http://example.org/dataset/DS1> VALUES ?x { 1 }""")
+def test_describe_explicit_iris_survive_modifiers_and_empty_solutions(dataset):
+    # SPARQL 1.1 §16.4: explicit IRIs are described regardless of the
+    # solution sequence — modifiers/VALUES shape only the var-derived
+    # nodes (review finding: the WHERE-less branch once sliced IRIs away
+    # on LIMIT 0 while the WHERE branch kept them)
+    for q in (
+        "DESCRIBE <http://example.org/dataset/DS1> LIMIT 0",
+        "DESCRIBE <http://example.org/dataset/DS1> OFFSET 1",
+        "DESCRIBE <http://example.org/dataset/DS1> WHERE { ?d a ex:Nothing }",
+        """DESCRIBE <http://example.org/dataset/DS1> ?d
+           WHERE { ?d a dcat:Dataset } ORDER BY ?d LIMIT 0""",
+    ):
+        df = sparql_df(dataset, PROLOGUE + q)
+        assert {r["subject"] for r in df.collect()} == {_ds("DS1")}, q
     with pytest.raises(SparqlUnsupported):
         sparql_df(dataset, PROLOGUE + """
             DESCRIBE <http://example.org/dataset/DS1> WHERE { FILTER(true) }""")
@@ -1725,3 +1730,15 @@ def test_group_by_rejected_on_non_select_forms(dataset):
     with pytest.raises(SparqlUnsupported):
         sparql_df(dataset, PROLOGUE + """
             ASK WHERE { ?d a dcat:Dataset } GROUP BY ?d""")
+
+
+def test_user_var_named_like_marker_is_not_stripped(dataset):
+    # ?_one5 is a legal SPARQL variable; internal markers now contain
+    # '#' (unlexable in a var name) so name-based filters cannot strip
+    # user variables (review finding)
+    df = sparql_df(dataset, PROLOGUE + """
+        SELECT * WHERE { ?_one5 dct:title "Customers" }""")
+    assert [r["_one5"] for r in df.collect()] == [_ds("DS1")]
+    ddf = sparql_df(dataset, PROLOGUE + """
+        DESCRIBE * WHERE { ?_one5 dct:title "Customers" }""")
+    assert {r["subject"] for r in ddf.collect()} == {_ds("DS1")}
