@@ -1665,6 +1665,21 @@ def q_sparql_describe_de_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         DESCRIBE ?f WHERE { ?f ex:lang "de" }""")
 
 
+def q_sparql_construct_repo_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CONSTRUCT`` through the front end (the reference's third result
+    form, rdf-workbench.py str(Triple) rendering): re-shape the
+    file→repo edge into an inverse ex:containsFile edge. Exercises
+    template instantiation, the object-kind sniff on a variable object,
+    and the solution-sequence LIMIT applied BEFORE instantiation."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        CONSTRUCT { ?repo ex:containsFile ?f } WHERE {
+            ?f ex:repo ?repo .
+        }""")
+
+
 def q_sparql_having_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``HAVING`` over an aggregate call (SPARQL 1.1 §11.3): repos with
     more than 40 live files — the aggregate in the constraint becomes a
@@ -1844,6 +1859,16 @@ SELECT DISTINCT a.subject, a.predicate, a.object,
        CASE WHEN regexp_matches(a.object, '^(https?|urn|file|ftp):')
             THEN 'iri' ELSE 'literal' END AS object_kind
 FROM asserted a JOIN nodes n ON a.subject = n.subject""",
+    ),
+    "sparql_construct_repo_links": QueryEntry(
+        q_sparql_construct_repo_links,
+        f"""
+WITH asserted AS (SELECT subject, predicate, object FROM ({_ASSERTED_SQL}) a)
+SELECT DISTINCT object AS subject,
+       'http://example.org/containsFile' AS predicate,
+       subject AS object,
+       'iri' AS object_kind
+FROM asserted WHERE predicate = 'http://example.org/repo'""",
     ),
     "sparql_having_repos": QueryEntry(
         q_sparql_having_repos, _SPARQL_HAVING_REPOS_SQL
