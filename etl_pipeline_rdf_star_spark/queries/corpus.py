@@ -1677,7 +1677,7 @@ def q_sparql_construct_repo_links(spark: SparkSession, sf_dir: str) -> DataFrame
         PREFIX ex: <http://example.org/>
         CONSTRUCT { ?repo ex:containsFile ?f } WHERE {
             ?f ex:repo ?repo .
-        }""")
+        } ORDER BY ?f LIMIT 500""")
 
 
 def q_sparql_having_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1864,11 +1864,15 @@ FROM asserted a JOIN nodes n ON a.subject = n.subject""",
         q_sparql_construct_repo_links,
         f"""
 WITH asserted AS (SELECT subject, predicate, object FROM ({_ASSERTED_SQL}) a)
-SELECT DISTINCT object AS subject,
+,
+links AS (SELECT subject AS f, object AS repo FROM asserted
+          WHERE predicate = 'http://example.org/repo'),
+sliced AS (SELECT f, repo FROM links ORDER BY f LIMIT 500)
+SELECT DISTINCT repo AS subject,
        'http://example.org/containsFile' AS predicate,
-       subject AS object,
+       f AS object,
        'iri' AS object_kind
-FROM asserted WHERE predicate = 'http://example.org/repo'""",
+FROM sliced""",
     ),
     "sparql_having_repos": QueryEntry(
         q_sparql_having_repos, _SPARQL_HAVING_REPOS_SQL
