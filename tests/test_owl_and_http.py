@@ -371,3 +371,16 @@ def test_http_result_format_negotiation(server):
         base + "/health", headers={"Accept": "text/csv"})
     with urllib.request.urlopen(req) as resp:
         assert resp.headers.get("Content-Type") == "application/json"
+
+
+def test_http_describe_served(server):
+    """DESCRIBE over the live endpoint returns the reference's
+    construct-style triple document — the fourth query form
+    (fastapi_sparql_server.py serves all four via pyoxigraph)."""
+    code, doc = _post(server, {
+        "query": "PREFIX ex: <http://example.org/> "
+                 "DESCRIBE ?f WHERE { ?f ex:lang \"en\" }",
+    })
+    assert code == 200
+    assert doc["count"] >= 2 * 6  # >=2 live files x 6 asserted triples
+    assert all(s.startswith("<http://example.org/file/r1/") for s in doc["triples"])
