@@ -110,9 +110,24 @@ def _filter_pass(m, f):
     return v < w  # "<" only generated in numeric form
 
 
+def _minus(left, right):
+    """SPARQL 1.1 §8.3: drop m1 when a compatible m2 exists whose domain
+    OVERLAPS m1's (disjoint-domain right solutions remove nothing)."""
+    return [
+        m1
+        for m1 in left
+        if not any(
+            _compatible(m1, m2) and (m1.keys() & m2.keys())
+            for m2 in right
+        )
+    ]
+
+
 def naive_eval(triples, query):
     """query = {"patterns": [...], "optional": [...] | None,
-    "union": [...] | None, "filters": [...], "distinct": bool}"""
+    "union": [...] | None, "minus": [...] | None, "bind": (src, tgt) |
+    None, "values": (var, [vals]) | None, "filters": [...],
+    "distinct": bool}"""
     sols = [{}]
     for pat in query["patterns"]:
         sols = _join(sols, _match(triples, pat))
@@ -126,6 +141,25 @@ def naive_eval(triples, query):
         for pat in query["optional"]:
             opt = _join(opt, _match(triples, pat))
         sols = _left_join(sols, opt)
+    if query["minus"] is not None:
+        right = [{}]
+        for pat in query["minus"]:
+            right = _join(right, _match(triples, pat))
+        sols = _minus(sols, right)
+    if query["bind"] is not None:
+        src, tgt = query["bind"]
+        out = []
+        for m in sols:
+            v = m.get(src[1]) if isinstance(src, tuple) else src
+            m = dict(m)
+            if v is not None:  # error (unbound source) leaves tgt unbound
+                m[tgt] = v
+            out.append(m)
+        sols = out
+    if query["values"] is not None:
+        var, vals = query["values"]
+        rows = [{} if v is None else {var: v} for v in vals]  # None=UNDEF
+        sols = _join(sols, rows)
     for f in query["filters"]:
         sols = [m for m in sols if _filter_pass(m, f)]
     return sols
@@ -167,6 +201,23 @@ def render(query):
             "OPTIONAL { %s }"
             % " ".join(_pat_text(p) for p in query["optional"])
         )
+    if query["minus"] is not None:
+        parts.append(
+            "MINUS { %s }" % " ".join(_pat_text(p) for p in query["minus"])
+        )
+    if query["bind"] is not None:
+        src, tgt = query["bind"]
+        # always render literal sources quoted: a bare numeric would BIND
+        # a typed number while the engine's relations (and the naive
+        # evaluator) carry lexical strings
+        src_text = f"?{src[1]}" if isinstance(src, tuple) else _term_text(src)
+        parts.append(f"BIND({src_text} AS ?{tgt})")
+    if query["values"] is not None:
+        var, vals = query["values"]
+        body = " ".join(
+            "UNDEF" if v is None else _term_text(v) for v in vals
+        )
+        parts.append("VALUES ?%s { %s }" % (var, body))
     for op, var, operand in query["filters"]:
         parts.append(f"FILTER(?{var} {op} {_operand_text(operand)})")
     head = "SELECT DISTINCT *" if query["distinct"] else "SELECT *"
@@ -215,6 +266,40 @@ def query_st(draw):
         optional = draw(
             st.one_of(st.none(), st.lists(pattern_st, min_size=1, max_size=2))
         )
+    minus = draw(
+        st.one_of(st.none(), st.lists(pattern_st, min_size=1, max_size=2))
+    )
+    # BIND source vars must appear somewhere the engine projects a column
+    # for (patterns/union/optional); a var only in MINUS never becomes a
+    # column and a reference to it is a loud error, not SPARQL-unbound
+    groups = [patterns] + [g for g in (union, optional) if g]
+    in_scope = sorted(
+        {t[1] for g in groups for p in g for t in p if isinstance(t, tuple)}
+    )
+    bind = None
+    if draw(st.booleans()):
+        src = draw(
+            st.one_of(
+                st.sampled_from(OBJECTS),
+                *(
+                    [st.tuples(st.just("var"), st.sampled_from(in_scope))]
+                    if in_scope
+                    else []
+                ),
+            )
+        )
+        bind = (src, "d")  # ?d never appears in patterns (not in VARS)
+    values = None
+    if draw(st.booleans()):
+        var = draw(st.sampled_from(VARS))
+        vals = draw(
+            st.lists(
+                st.one_of(st.none(), st.sampled_from(OBJECTS)),
+                min_size=1,
+                max_size=3,
+            )
+        )
+        values = (var, vals)
     filters = []
     if bound and draw(st.booleans()):
         var = draw(st.sampled_from(sorted(bound)))
@@ -233,6 +318,9 @@ def query_st(draw):
         "patterns": patterns,
         "union": union,
         "optional": optional,
+        "minus": minus,
+        "bind": bind,
+        "values": values,
         "filters": filters,
         "distinct": draw(st.booleans()),
     }
@@ -244,9 +332,14 @@ def _all_vars(query):
         groups.append(query["union"])
     if query["optional"] is not None:
         groups.append(query["optional"])
-    return sorted(
-        {t[1] for g in groups for p in g for t in p if isinstance(t, tuple)}
-    )
+    # MINUS right-side vars do NOT extend the projected scope (§8.3);
+    # BIND targets and VALUES vars do
+    out = {t[1] for g in groups for p in g for t in p if isinstance(t, tuple)}
+    if query["bind"] is not None:
+        out.add(query["bind"][1])
+    if query["values"] is not None:
+        out.add(query["values"][0])
+    return sorted(out)
 
 
 def _rowset(sols, vars_, distinct):
