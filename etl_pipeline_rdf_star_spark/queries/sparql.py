@@ -2356,8 +2356,15 @@ def _agg_col(a: Aggregate, df: DataFrame) -> Column:
         # (review finding: a blanket double cast made MIN over titles
         # return unbound). Order by (numeric, raw) — numeric lexicals
         # compare numerically ("9" < "10"), everything else lexically —
-        # and return the group member's original lexical form.
-        key = F.struct(num.alias("n"), raw.alias("r"))
+        # and return the group member's original lexical form. The key
+        # must be NULL (not struct(null,null)) for unbound members:
+        # aggregates skip NULLs but not null-FIELDED structs, and
+        # struct(null,null) sorts below everything, so MIN over a group
+        # with any unbound member would return unbound (found by the
+        # algebra property suite's naive-evaluator modeling).
+        key = F.when(
+            raw.isNotNull(), F.struct(num.alias("n"), raw.alias("r"))
+        )
         return getattr(F, a.fn)(key).getField("r")
     # SUM/AVG: op:numeric-add errors on any non-numeric member, making
     # the whole aggregate unbound — NOT a silently-partial sum over the

@@ -387,3 +387,119 @@ def test_sparql_matches_naive_algebra(spark, triples, query):
         )
     )
     assert got == want, f"query: {text}\ndata: {triples}"
+
+
+# ---------------------------------------------------------------------------
+# aggregates: GROUP BY differential against the same naive model
+# ---------------------------------------------------------------------------
+
+AGGS = [
+    "COUNT(?v)",
+    "COUNT(*)",
+    "COUNT(DISTINCT ?v)",
+    "SUM(?v)",
+    "AVG(?v)",
+    "MIN(?v)",
+    "MAX(?v)",
+    'GROUP_CONCAT(?v)',
+    'GROUP_CONCAT(DISTINCT ?v; separator="|")',
+    "SAMPLE(?v)",
+]
+
+
+def _minmax_key(v):
+    # Spark struct(n, r) ordering with NULL n sorting first: every
+    # non-numeric lexical sorts below every numeric, ties lexical
+    return (1, float(v), v) if _is_num(v) else (0, 0.0, v)
+
+
+def _naive_agg(agg, rows):
+    bound = [v for v in rows if v is not None]
+    if agg == "COUNT(?v)":
+        return len(bound)
+    if agg == "COUNT(*)":
+        return len(rows)
+    if agg == "COUNT(DISTINCT ?v)":
+        return len(set(bound))
+    if agg in ("SUM(?v)", "AVG(?v)"):
+        # any bound non-numeric member = type error -> unbound;
+        # unbound members are skipped; empty -> unbound
+        if not bound or any(not _is_num(v) for v in bound):
+            return None
+        s = sum(float(v) for v in bound)
+        return round(s if agg.startswith("SUM") else s / len(bound), 6)
+    if agg == "MIN(?v)":
+        return min(bound, key=_minmax_key) if bound else None
+    if agg == "MAX(?v)":
+        return max(bound, key=_minmax_key) if bound else None
+    if agg == 'GROUP_CONCAT(?v)':
+        return " ".join(sorted(bound))  # engine sorts for determinism
+    if agg.startswith("GROUP_CONCAT(DISTINCT"):
+        return "|".join(sorted(set(bound)))
+    return min(bound) if bound else None  # SAMPLE = deterministic min
+
+
+def _norm(v):
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    return str(v)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(
+    edges=st.lists(
+        st.tuples(st.sampled_from(SUBJECTS), st.sampled_from(["g1", "g2"])),
+        min_size=1,
+        max_size=6,
+    ),
+    vals=st.lists(
+        st.tuples(st.sampled_from(SUBJECTS), st.sampled_from(OBJECTS)),
+        min_size=0,
+        max_size=8,
+    ),
+    agg=st.sampled_from(AGGS),
+)
+def test_group_by_aggregates_match_naive(spark, edges, vals, agg):
+    triples = [(s, "http://x/p0", g) for s, g in edges] + [
+        (s, "http://x/p1", v) for s, v in vals
+    ]
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [(s, p, o, None) for s, p, o in triples],
+            "subject string, predicate string, object string, graph string",
+        ),
+        annotations=spark.createDataFrame(
+            [],
+            "q_s string, q_p string, q_o string, predicate string,"
+            " object string",
+        ),
+    )
+    text = (
+        f"SELECT ?g ({agg} AS ?x) WHERE {{ "
+        "?s <http://x/p0> ?g . OPTIONAL { ?s <http://x/p1> ?v } "
+        "} GROUP BY ?g"
+    )
+    sols = naive_eval(
+        triples,
+        {
+            "patterns": [(("var", "s"), "http://x/p0", ("var", "g"))],
+            "union": None,
+            "optional": [(("var", "s"), "http://x/p1", ("var", "v"))],
+            "minus": None,
+            "bind": None,
+            "values": None,
+            "filters": [],
+        },
+    )
+    groups: dict = {}
+    for m in sols:
+        groups.setdefault(m["g"], []).append(m.get("v"))
+    want = sorted(
+        (g, _norm(_naive_agg(agg, rows))) for g, rows in groups.items()
+    )
+    got = sorted(
+        (r["g"], _norm(r["x"])) for r in sparql_df(ds, text).collect()
+    )
+    assert got == want, f"agg: {agg}\ndata: {triples}"
