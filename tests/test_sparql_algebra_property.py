@@ -503,3 +503,190 @@ def test_group_by_aggregates_match_naive(spark, edges, vals, agg):
         (r["g"], _norm(r["x"])) for r in sparql_df(ds, text).collect()
     )
     assert got == want, f"agg: {agg}\ndata: {triples}"
+
+
+# ---------------------------------------------------------------------------
+# property paths: differential against a naive W3C-algebra evaluator
+# ---------------------------------------------------------------------------
+
+# path AST: ("p", iri) | ("inv", e) | ("seq", a, b) | ("alt", a, b)
+#         | ("star", e) | ("plus", e) | ("opt", e)
+
+
+def _nodes(triples):
+    return {t[0] for t in triples} | {t[2] for t in triples}
+
+
+def _closure(pairs):
+    out = set(pairs)
+    changed = True
+    while changed:
+        changed = False
+        for (a, b) in list(out):
+            for (c, d) in list(out):
+                if b == c and (a, d) not in out:
+                    out.add((a, d))
+                    changed = True
+    return out
+
+
+def _nullable(e):
+    """Can the path match the zero-length route? ``plus`` is nullable
+    when its child is — one ALP iteration of a nullable child matches
+    the empty route, making (q?)+ ≡ q* (mirrors the engine's
+    _path_nullable)."""
+    kind = e[0]
+    if kind in ("star", "opt"):
+        return True
+    if kind in ("inv", "plus"):
+        return _nullable(e[1])
+    if kind == "seq":
+        return _nullable(e[1]) and _nullable(e[2])
+    if kind == "alt":
+        return _nullable(e[1]) or _nullable(e[2])
+    return False
+
+
+def _path_pairs(triples, e):
+    """Pair-set semantics for a path in JOIN position (both ends open):
+    ZeroLengthPath over variables = every term in the graph."""
+    kind = e[0]
+    if kind == "p":
+        return {(s, o) for s, p, o in triples if p == e[1]}
+    if kind == "inv":
+        return {(b, a) for a, b in _path_pairs(triples, e[1])}
+    if kind == "seq":
+        left, right = _path_pairs(triples, e[1]), _path_pairs(triples, e[2])
+        return {(a, d) for a, b in left for c, d in right if b == c}
+    if kind == "alt":
+        return _path_pairs(triples, e[1]) | _path_pairs(triples, e[2])
+    zero = {(t, t) for t in _nodes(triples)}
+    inner = _path_pairs(triples, e[1])
+    if kind == "plus":
+        out = _closure(inner)
+        return out | zero if _nullable(e[1]) else out
+    if kind == "star":
+        return _closure(inner) | zero
+    return inner | zero  # opt
+
+
+def _path_match(triples, s_spec, o_spec, e):
+    """Top-level match with bound-endpoint ZeroLengthPath semantics:
+    a bound endpoint matches itself zero-length even when the term does
+    not occur in the graph (W3C §18.4 ZeroLengthPath case analysis)."""
+    kind = e[0]
+    if kind in ("star", "plus"):
+        base = _closure(_path_pairs(triples, e[1]))
+    elif kind == "opt":  # '?' is zero-or-ONE, not a closure
+        base = _path_pairs(triples, e[1])
+    else:
+        base = _path_pairs(triples, e)
+    sols = {
+        (a, b)
+        for a, b in base
+        if (isinstance(s_spec, tuple) or a == s_spec)
+        and (isinstance(o_spec, tuple) or b == o_spec)
+    }
+    if _nullable(e):
+        s_bound = not isinstance(s_spec, tuple)
+        o_bound = not isinstance(o_spec, tuple)
+        if s_bound and o_bound:
+            if s_spec == o_spec:
+                sols.add((s_spec, o_spec))
+        elif s_bound:
+            sols.add((s_spec, s_spec))
+        elif o_bound:
+            sols.add((o_spec, o_spec))
+        else:
+            sols |= {(t, t) for t in _nodes(triples)}
+    return sols
+
+
+def _path_text(e):
+    kind = e[0]
+    if kind == "p":
+        return f"<{e[1]}>"
+    if kind == "inv":
+        return f"^({_path_text(e[1])})"
+    if kind == "seq":
+        return f"({_path_text(e[1])}/{_path_text(e[2])})"
+    if kind == "alt":
+        return f"({_path_text(e[1])}|{_path_text(e[2])})"
+    mark = {"star": "*", "plus": "+", "opt": "?"}[kind]
+    return f"({_path_text(e[1])}){mark}"
+
+
+path_st = st.recursive(
+    st.tuples(st.just("p"), st.sampled_from(PREDICATES)),
+    lambda inner: st.one_of(
+        st.tuples(st.just("inv"), inner),
+        st.tuples(st.just("seq"), inner, inner),
+        st.tuples(st.just("alt"), inner, inner),
+        st.tuples(st.just("star"), inner),
+        st.tuples(st.just("plus"), inner),
+        st.tuples(st.just("opt"), inner),
+    ),
+    max_leaves=4,
+)
+
+endpoint_st = st.one_of(
+    st.sampled_from(SUBJECTS),
+    st.tuples(st.just("var"), st.sampled_from(["a", "b"])),
+)
+
+
+@settings(max_examples=35, deadline=None, derandomize=True)
+@given(
+    triples=st.lists(
+        st.tuples(
+            st.sampled_from(SUBJECTS),
+            st.sampled_from(PREDICATES),
+            st.sampled_from(SUBJECTS + ["alpha", "7"]),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    path=path_st,
+    s_spec=endpoint_st,
+    o_spec=endpoint_st,
+)
+def test_property_paths_match_naive(spark, triples, path, s_spec, o_spec):
+    triples = sorted(set(triples))
+    if (
+        isinstance(s_spec, tuple)
+        and isinstance(o_spec, tuple)
+        and s_spec == o_spec
+    ):
+        o_spec = ("var", "b" if s_spec[1] == "a" else "a")
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [(s, p, o, None) for s, p, o in triples],
+            "subject string, predicate string, object string, graph string",
+        ),
+        annotations=spark.createDataFrame(
+            [],
+            "q_s string, q_p string, q_o string, predicate string,"
+            " object string",
+        ),
+    )
+    text = (
+        "SELECT * WHERE { "
+        f"{_term_text(s_spec)} {_path_text(path)} {_term_text(o_spec)} . "
+        "}"
+    )
+    want_pairs = _path_match(triples, s_spec, o_spec, path)
+    # project the var positions the engine returns
+    vars_ = []
+    if isinstance(s_spec, tuple):
+        vars_.append(("s", s_spec[1]))
+    if isinstance(o_spec, tuple):
+        vars_.append(("o", o_spec[1]))
+    want = sorted(
+        {
+            tuple((a if pos == "s" else b) for pos, _ in vars_)
+            for a, b in want_pairs
+        }
+    )
+    df = sparql_df(ds, text)
+    got = sorted({tuple(r[v] for _, v in vars_) for r in df.collect()})
+    assert got == want, f"query: {text}\ndata: {triples}"
