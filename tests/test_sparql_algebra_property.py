@@ -690,3 +690,110 @@ def test_property_paths_match_naive(spark, triples, path, s_spec, o_spec):
     df = sparql_df(ds, text)
     got = sorted({tuple(r[v] for _, v in vars_) for r in df.collect()})
     assert got == want, f"query: {text}\ndata: {triples}"
+
+
+# ---------------------------------------------------------------------------
+# RDF-star: quoted-triple annotation patterns (the flagship J1/J4 joins)
+# ---------------------------------------------------------------------------
+
+ANN_PREDS = ["http://x/conf", "http://x/src"]
+ANN_OBJS = ["0.3", "0.9", "sysA", "sysB"]
+
+
+def _match_ann(anns, qpat):
+    """qpat = (ts, tp, to, ap, tobj): unify a << ts tp to >> ap tobj
+    pattern against the annotation rows."""
+    out = []
+    for row in anns:
+        m = {}
+        ok = True
+        for term, val in zip(qpat, row):
+            if isinstance(term, tuple):
+                name = term[1]
+                if name in m and m[name] != val:
+                    ok = False
+                    break
+                m[name] = val
+            elif term != val:
+                ok = False
+                break
+        if ok:
+            out.append(m)
+    return out
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_quoted_triple_patterns_match_naive(spark, data):
+    triples = data.draw(
+        st.lists(triple_st, min_size=1, max_size=8), label="triples"
+    )
+    # annotations mostly quote asserted triples (so joins bite), some not
+    quoted_pool = triples + data.draw(
+        st.lists(triple_st, min_size=0, max_size=2), label="extra_quoted"
+    )
+    anns = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(quoted_pool),
+                st.sampled_from(ANN_PREDS),
+                st.sampled_from(ANN_OBJS),
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        label="anns",
+    ).copy()
+    ann_rows = [(qs, qp, qo, ap, ao) for (qs, qp, qo), ap, ao in anns]
+
+    term_or_var = lambda pool, vs: st.one_of(  # noqa: E731
+        st.sampled_from(pool),
+        st.tuples(st.just("var"), st.sampled_from(vs)),
+    )
+    qpat = (
+        data.draw(term_or_var(SUBJECTS, ["a"]), label="ts"),
+        data.draw(term_or_var(PREDICATES, ["b"]), label="tp"),
+        data.draw(term_or_var(OBJECTS, ["c"]), label="to"),
+        data.draw(st.sampled_from(ANN_PREDS), label="ap"),
+        data.draw(term_or_var(ANN_OBJS, ["x"]), label="tobj"),
+    )
+    with_asserted = data.draw(st.booleans(), label="with_asserted")
+
+    sols = _match_ann(ann_rows, qpat)
+    parts = [
+        f"<< {_term_text(qpat[0])} {_term_text(qpat[1])} "
+        f"{_term_text(qpat[2])} >> <{qpat[3]}> {_term_text(qpat[4])} ."
+    ]
+    if with_asserted:
+        # join the quoted subject/predicate/object vars against the
+        # asserted relation: the flagship's high-confidence shape
+        apat = (qpat[0], qpat[1], qpat[2])
+        sols = _join(sols, _match(triples, apat))
+        parts.insert(
+            0,
+            f"{_term_text(apat[0])} {_term_text(apat[1])} "
+            f"{_term_text(apat[2])} .",
+        )
+    text = "SELECT * WHERE { " + " ".join(parts) + " }"
+
+    vars_ = sorted(
+        {t[1] for t in qpat if isinstance(t, tuple)}
+    )
+    want = sorted(
+        tuple(m.get(v) for v in vars_) for m in sols
+    )
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [(s, p, o, None) for s, p, o in triples],
+            "subject string, predicate string, object string, graph string",
+        ),
+        annotations=spark.createDataFrame(
+            ann_rows or [(None,) * 5],
+            "q_s string, q_p string, q_o string, predicate string,"
+            " object string",
+        ).where("q_s IS NOT NULL"),
+    )
+    got = sorted(
+        tuple(r[v] for v in vars_) for r in sparql_df(ds, text).collect()
+    )
+    assert got == want, f"query: {text}\nanns: {ann_rows}\ndata: {triples}"
