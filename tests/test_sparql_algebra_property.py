@@ -797,3 +797,138 @@ def test_quoted_triple_patterns_match_naive(spark, data):
         tuple(r[v] for v in vars_) for r in sparql_df(ds, text).collect()
     )
     assert got == want, f"query: {text}\nanns: {ann_rows}\ndata: {triples}"
+
+
+# ---------------------------------------------------------------------------
+# GRAPH / FROM / FROM NAMED dataset semantics
+# ---------------------------------------------------------------------------
+
+GRAPHS = ["http://x/g1", "http://x/g2"]
+
+
+def _match_quads(quads, pat, graph_spec, from_graphs, from_named):
+    """One triple pattern against the dataset:
+
+    * outside GRAPH (graph_spec None): the default graph — the union of
+      all quads when no dataset clause is given (the engine mirrors the
+      reference's union-default-graph store), else exactly the FROM
+      graphs (FROM NAMED-only => empty default graph);
+    * GRAPH <g> / GRAPH ?v: named (non-null-graph) quads, restricted to
+      FROM NAMED when any dataset clause is given (FROM-only => no named
+      graphs); ?v binds the graph and never matches default-graph rows.
+    """
+    has_dataset = bool(from_graphs or from_named)
+    out = []
+    for s, p, o, g in quads:
+        if graph_spec is None:
+            if has_dataset and g not in from_graphs:
+                continue
+        else:
+            if g is None:
+                continue
+            if has_dataset and g not in from_named:
+                continue
+        m = {}
+        ok = True
+        terms = [pat[0], pat[1], pat[2]]
+        vals = [s, p, o]
+        if graph_spec is not None:
+            terms.append(graph_spec)
+            vals.append(g)
+        for term, val in zip(terms, vals):
+            if isinstance(term, tuple):
+                name = term[1]
+                if name in m and m[name] != val:
+                    ok = False
+                    break
+                m[name] = val
+            elif term != val:
+                ok = False
+                break
+        if ok:
+            out.append(m)
+    return out
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_graph_and_dataset_clauses_match_naive(spark, data):
+    quads = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(SUBJECTS),
+                st.sampled_from(PREDICATES),
+                st.sampled_from(OBJECTS),
+                st.sampled_from([None] + GRAPHS),
+            ),
+            min_size=0,
+            max_size=10,
+        ),
+        label="quads",
+    )
+    pats = data.draw(bgp_st, label="patterns")
+    specs = [
+        data.draw(
+            st.sampled_from(
+                [None, "g1-const", "g2-const", "var"]
+            ),
+            label=f"gspec{i}",
+        )
+        for i in range(len(pats))
+    ]
+    from_graphs = data.draw(
+        st.sampled_from([[], ["http://x/g1"], GRAPHS]), label="from"
+    )
+    from_named = data.draw(
+        st.sampled_from([[], ["http://x/g2"], GRAPHS]), label="from_named"
+    )
+
+    def spec_term(s):
+        if s is None:
+            return None
+        if s == "var":
+            return ("var", "g")
+        return f"http://x/{s.split('-')[0]}"
+
+    sols = [{}]
+    parts = []
+    for pat, s in zip(pats, specs):
+        gt = spec_term(s)
+        sols = _join(sols, _match_quads(quads, pat, gt, from_graphs, from_named))
+        if gt is None:
+            parts.append(_pat_text(pat))
+        else:
+            parts.append(
+                "GRAPH %s { %s }" % (_term_text(gt), _pat_text(pat))
+            )
+    dataset_clauses = "".join(
+        [f" FROM <{g}>" for g in from_graphs]
+        + [f" FROM NAMED <{g}>" for g in from_named]
+    )
+    text = (
+        "SELECT *" + dataset_clauses + " WHERE { " + " ".join(parts) + " }"
+    )
+    vars_ = sorted(
+        {t[1] for p in pats for t in p if isinstance(t, tuple)}
+        | ({"g"} if "var" in specs else set())
+    )
+    want = sorted(
+        tuple(m.get(v) for v in vars_) for m in sols
+    )
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            quads or [(None,) * 4],
+            "subject string, predicate string, object string, graph string",
+        ).where("subject IS NOT NULL"),
+        annotations=spark.createDataFrame(
+            [],
+            "q_s string, q_p string, q_o string, predicate string,"
+            " object string",
+        ),
+    )
+    df = sparql_df(ds, text)
+    got = sorted(
+        tuple(r[v] if v in df.columns else None for v in vars_)
+        for r in df.collect()
+    )
+    assert got == want, f"query: {text}\nquads: {quads}"
