@@ -1506,6 +1506,25 @@ def q_sparql_union_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
         }""")
 
 
+def q_sparql_star_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-star triple-term builtins (TRIPLE / OBJECT / isTRIPLE)
+    through the text front end: mint the quoted term for each
+    high-confidence lang annotation, then take it apart again. Oracle:
+    the same string rendering of the engine's serialized quoted-term
+    form in DuckDB."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        SELECT ?subject ?quoted ?obj WHERE {
+            <<?subject ex:lang ?lang>> ex:confidence ?conf .
+            FILTER(?conf > 0.8)
+            BIND(TRIPLE(?subject, ex:lang, ?lang) AS ?quoted)
+            BIND(OBJECT(?quoted) AS ?obj)
+            FILTER(isTRIPLE(?quoted))
+        }""")
+
+
 def q_sparql_path_same_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path SEQUENCE + INVERSE through the SPARQL front end
     (SPARQL 1.1 ``ex:repo/^ex:repo`` — files co-located in a repo),
@@ -1798,6 +1817,17 @@ WHERE round((length(content) % 100) / 100.0, 2) > 0.5""",
 SELECT DISTINCT object FROM ({_ASSERTED_SQL}) t
 WHERE predicate IN ('http://example.org/lang',
                     'http://purl.org/dc/terms/identifier')""",
+    ),
+    "sparql_star_accessors": QueryEntry(
+        q_sparql_star_accessors,
+        f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f)
+SELECT {_SUBJ} AS subject,
+       '<< ' || {_SUBJ} || ' http://example.org/lang ' || lang || ' >>'
+         AS quoted,
+       lang AS obj
+FROM final
+WHERE round((length(content) % 100) / 100.0, 2) > 0.8""",
     ),
     "sparql_path_same_repo": QueryEntry(
         q_sparql_path_same_repo, _SPARQL_PATH_SAME_REPO_SQL

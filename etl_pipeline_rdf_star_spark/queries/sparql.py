@@ -64,6 +64,9 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _RDF_REIFIES = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
 
 _NUM_RE = re.compile(r"^[+-]?(\d+(\.\d+)?([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)$")
+# the engine's serialized quoted-triple term "<< s p o >>" (see
+# dataset_from_quads) — what isTRIPLE/SUBJECT/PREDICATE/OBJECT recognize
+_TRIPLE_TERM_RE = r"^<< \S+ \S+ .* >>$"
 
 
 class SparqlParseError(ValueError):
@@ -236,6 +239,8 @@ _KEYWORDS = {
     "minutes", "seconds", "in", "isiri", "isuri", "isliteral",
     "isnumeric", "isblank", "encode_for_uri", "md5", "sha1", "sha256",
     "sha384", "sha512",
+    "ceil", "sameterm", "iri", "uri", "tz", "uuid", "struuid", "rand",
+    "istriple", "triple", "subject", "predicate", "object",
 }
 
 # aggregate function keywords (SELECT clause + HAVING expressions)
@@ -251,6 +256,11 @@ _FN_KEYWORDS = {
     "substr", "year", "month", "day", "hours", "minutes", "seconds",
     "isiri", "isuri", "isliteral", "isnumeric", "isblank",
     "encode_for_uri", "md5", "sha1", "sha256", "sha384", "sha512",
+    "ceil", "sameterm", "iri", "uri", "tz", "uuid", "struuid", "rand",
+    # SPARQL-star (1.2) triple-term accessors — operate on the engine's
+    # serialized quoted-term representation "<< s p o >>"
+    # (dataset_from_quads keeps non-reifies quoted objects in that form)
+    "istriple", "triple", "subject", "predicate", "object",
 }
 _PUNCT2 = ("<<", ">>", "<=", ">=", "!=", "&&", "||")
 
@@ -2032,6 +2042,58 @@ class _Planner:
                 if fn == "sha1":
                     return F.sha1(s)
                 return F.sha2(s, int(fn[3:]))
+            if fn == "ceil":
+                return F.ceil(cols[0].try_cast("double"))
+            if fn == "sameterm":
+                # relations carry one lexical string per term, so exact
+                # term equality IS string equality — deliberately no
+                # numeric value-dispatch ("1" and "01" are different
+                # terms even though = would compare them equal)
+                return cols[0].cast("string") == cols[1].cast("string")
+            if fn in ("iri", "uri"):
+                # terms are lexical strings here; IRI(str) is the minting
+                # identity (its main SPARQL use: IRI(CONCAT(...)))
+                return cols[0].cast("string")
+            if fn == "tz":
+                # timezone suffix of the dateTime LEXICAL form: "" when
+                # absent (17.4.5.8); null operand propagates as unbound
+                s = cols[0].cast("string")
+                return F.when(
+                    s.isNull(), F.lit(None).cast("string")
+                ).otherwise(F.regexp_extract(s, r"(Z|[+-]\d{2}:\d{2})$", 1))
+            if fn in ("uuid", "struuid"):
+                u = F.expr("uuid()")
+                return F.concat(F.lit("urn:uuid:"), u) if fn == "uuid" else u
+            if fn == "rand":
+                return F.rand()
+            if fn == "istriple":
+                return cols[0].cast("string").rlike(_TRIPLE_TERM_RE)
+            if fn == "triple":
+                # the engine's serialized quoted-term form — matches
+                # dataset_from_quads' rendering of quoted objects exactly,
+                # so TRIPLE(?s,?p,?o) = ?t round-trips with isTRIPLE(?t)
+                return F.concat_ws(
+                    " ",
+                    F.lit("<<"),
+                    cols[0].cast("string"),
+                    cols[1].cast("string"),
+                    cols[2].cast("string"),
+                    F.lit(">>"),
+                )
+            if fn in ("subject", "predicate", "object"):
+                # accessors error → unbound (null) on a non-triple term.
+                # subject/predicate are IRIs or bnodes (no spaces); the
+                # object capture is greedy so literals with spaces and
+                # nested serialized triples stay whole.
+                s = cols[0].cast("string")
+                pat = {
+                    "subject": r"^<< (\S+) \S+ .* >>$",
+                    "predicate": r"^<< \S+ (\S+) .* >>$",
+                    "object": r"^<< \S+ \S+ (.*) >>$",
+                }[fn]
+                return F.when(
+                    s.rlike(_TRIPLE_TERM_RE), F.regexp_extract(s, pat, 1)
+                ).otherwise(F.lit(None).cast("string"))
             if fn in ("str", "lang", "datatype"):
                 # our relations carry plain lexical values; str() is
                 # identity, lang()/datatype() unsupported without the
@@ -2091,7 +2153,7 @@ def _literal_args(args: list, what: str) -> list[str]:
 
 _NUMERIC_CALLS = {
     "strlen", "floor", "abs", "round", "year", "month", "day", "hours",
-    "minutes", "seconds",
+    "minutes", "seconds", "ceil", "rand",
 }
 
 

@@ -1742,3 +1742,117 @@ def test_user_var_named_like_marker_is_not_stripped(dataset):
     ddf = sparql_df(dataset, PROLOGUE + """
         DESCRIBE * WHERE { ?_one5 dct:title "Customers" }""")
     assert {r["subject"] for r in ddf.collect()} == {_ds("DS1")}
+
+
+# -- SPARQL 1.1 builtin completion + SPARQL-star triple-term accessors --------
+
+
+def test_ceil_and_numeric_dispatch(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?c WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(CEIL(STRLEN(?t) / 4) AS ?c)
+        }"""), "c")
+    # "Customers" = 9 chars; ceil(9/4) = 3
+    assert rows_ == [(3,)]
+    # CEIL forces numeric comparison dispatch
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?t WHERE {
+            ?d dct:title ?t . FILTER(CEIL(STRLEN(?t) / 4) = 2)
+        } ORDER BY ?t"""), "t")
+    assert rows_ == [("Orders",), ("Revenue",)]
+
+
+def test_sameterm_is_exact_not_value_equality(dataset):
+    # "01" and "1" are = under numeric dispatch but NOT the same term
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?eq ?st WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(IF("01" = 1, "y", "n") AS ?eq)
+            BIND(IF(SAMETERM("01", "1"), "y", "n") AS ?st)
+        }"""), "eq", "st")
+    assert rows_ == [("y", "n")]
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d WHERE {
+            ?d dct:title ?t . FILTER(sameTerm(?t, "Orders"))
+        }"""), "d")
+    assert rows_ == [(_ds("DS2"),)]
+
+
+def test_iri_minting_identity(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?minted WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(IRI(CONCAT("http://example.org/title/", ?t)) AS ?minted)
+        }"""), "minted")
+    assert rows_ == [("http://example.org/title/Customers",)]
+
+
+def test_tz_of_datetime_lexical(dataset):
+    # generatedAtTime annotation lexicals end in Z; a bare date has no tz
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?tz ?none WHERE {
+            << ex:dataset/DS1 dcat:theme ex:themes/Finance >>
+                prov:generatedAtTime ?ts .
+            BIND(TZ(?ts) AS ?tz)
+            BIND(TZ("2025-02-01T00:00:00") AS ?none)
+        }"""), "tz", "none")
+    assert rows_ == [("Z", "")]
+
+
+def test_uuid_struuid_rand_shapes(dataset):
+    import re as _re
+
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?u ?su ?r WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(UUID() AS ?u) BIND(STRUUID() AS ?su) BIND(RAND() AS ?r)
+        }"""), "u", "su", "r")
+    u, su, r = rows_[0]
+    hex_ = r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    assert _re.fullmatch("urn:uuid:" + hex_, u)
+    assert _re.fullmatch(hex_, su)
+    assert 0.0 <= r < 1.0
+
+
+def test_triple_term_roundtrip(dataset):
+    # TRIPLE mints the serialized quoted-term form; the accessors and
+    # isTRIPLE round-trip it
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?is ?s ?p ?o WHERE {
+            ex:dataset/DS2 dcat:theme ?th .
+            BIND(TRIPLE(ex:dataset/DS2, dcat:theme, ?th) AS ?t)
+            BIND(isTRIPLE(?t) AS ?is)
+            BIND(SUBJECT(?t) AS ?s)
+            BIND(PREDICATE(?t) AS ?p)
+            BIND(OBJECT(?t) AS ?o)
+        }"""), "is", "s", "p", "o")
+    assert rows_ == [(True, _ds("DS2"), DCAT + "theme", _theme("Marketing"))]
+
+
+def test_triple_accessors_unbound_on_non_triple(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?is ?s WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(isTRIPLE(?t) AS ?is)
+            BIND(SUBJECT(?t) AS ?s)
+        }"""), "is", "s")
+    assert rows_ == [(False, None)]
+
+
+def test_object_accessor_keeps_spaced_literal_whole(spark):
+    # a quoted object literal with spaces survives the greedy capture
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [("http://x/r", "http://x/claims",
+              '<< http://x/s http://x/p some spaced value >>')],
+            "subject string, predicate string, object string",
+        )
+    )
+    rows_ = rows(sparql_df(ds, """
+        SELECT ?o2 WHERE {
+            ?r <http://x/claims> ?t .
+            FILTER(isTRIPLE(?t))
+            BIND(OBJECT(?t) AS ?o2)
+        }"""), "o2")
+    assert rows_ == [("some spaced value",)]
