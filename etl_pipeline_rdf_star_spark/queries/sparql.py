@@ -2071,15 +2071,19 @@ class _Planner:
             if fn == "triple":
                 # the engine's serialized quoted-term form — matches
                 # dataset_from_quads' rendering of quoted objects exactly,
-                # so TRIPLE(?s,?p,?o) = ?t round-trips with isTRIPLE(?t)
-                return F.concat_ws(
-                    " ",
-                    F.lit("<<"),
-                    cols[0].cast("string"),
-                    cols[1].cast("string"),
-                    cols[2].cast("string"),
-                    F.lit(">>"),
-                )
+                # so TRIPLE(?s,?p,?o) = ?t round-trips with isTRIPLE(?t).
+                # Any unbound arg is a SPARQL error → unbound (concat_ws
+                # would silently SKIP nulls and emit a malformed term)
+                parts = [c.cast("string") for c in cols]
+                all_bound = F.lit(True)
+                for p in parts:
+                    all_bound = all_bound & p.isNotNull()
+                return F.when(
+                    all_bound,
+                    F.concat_ws(
+                        " ", F.lit("<<"), *parts, F.lit(">>")
+                    ),
+                ).otherwise(F.lit(None).cast("string"))
             if fn in ("subject", "predicate", "object"):
                 # accessors error → unbound (null) on a non-triple term.
                 # subject/predicate are IRIs or bnodes (no spaces); the

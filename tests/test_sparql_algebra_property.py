@@ -932,3 +932,142 @@ def test_graph_and_dataset_clauses_match_naive(spark, data):
         for r in df.collect()
     )
     assert got == want, f"query: {text}\nquads: {quads}"
+
+
+# ---------------------------------------------------------------------------
+# builtin calls: BIND differential against naive reimplementations
+# ---------------------------------------------------------------------------
+
+# vocabulary widened with the shapes the builtins care about: dateTime
+# lexicals with/without zone, a spaced literal, a serialized quoted term,
+# and the empty string
+BUILTIN_OBJECTS = OBJECTS + [
+    "a spaced value",
+    "2025-02-01T00:00:00Z",
+    "2025-02-01T00:00:00+05:30",
+    "2025-02-01T00:00:00",
+    "<< http://x/s1 http://x/p1 o >>",
+    "",
+]
+
+
+def _n_ceil(v):
+    import math
+
+    if v is None or not _is_num(v):
+        return None
+    return math.ceil(float(v))
+
+
+def _n_tz(v):
+    import re as _re
+
+    if v is None:
+        return None
+    m = _re.search(r"(Z|[+-]\d{2}:\d{2})$", v)
+    return m.group(1) if m else ""
+
+
+def _n_istriple(v):
+    import re as _re
+
+    if v is None:
+        return None
+    return bool(_re.fullmatch(r"<< \S+ \S+ .* >>", v))
+
+
+def _n_object_roundtrip(v):
+    # OBJECT(TRIPLE(s, p, v)) = v for any lexical, spaces included
+    return None if v is None else v
+
+
+_BUILTIN_CATALOG = [
+    ("CEIL({v})", _n_ceil),
+    ("STRLEN({v})", lambda v: None if v is None else len(v)),
+    ("UCASE({v})", lambda v: None if v is None else v.upper()),
+    ("TZ({v})", _n_tz),
+    ('SAMETERM({v}, "alpha")', lambda v: None if v is None else v == "alpha"),
+    (
+        'IRI(CONCAT("http://m/", {v}))',
+        lambda v: None if v is None else "http://m/" + v,
+    ),
+    ("ISTRIPLE({v})", _n_istriple),
+    (
+        "OBJECT(TRIPLE(<http://x/s0>, <http://x/p0>, {v}))",
+        _n_object_roundtrip,
+    ),
+    (
+        "SUBJECT(TRIPLE(<http://x/s0>, <http://x/p0>, {v}))",
+        lambda v: None if v is None else "http://x/s0",
+    ),
+    (
+        "PREDICATE(TRIPLE(<http://x/s0>, <http://x/p0>, {v}))",
+        lambda v: None if v is None else "http://x/p0",
+    ),
+]
+
+
+builtin_triple_st = st.tuples(
+    st.sampled_from(SUBJECTS),
+    st.sampled_from(PREDICATES),
+    st.sampled_from(BUILTIN_OBJECTS),
+)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    triples=st.lists(builtin_triple_st, min_size=0, max_size=10),
+    fn_idx=st.integers(min_value=0, max_value=len(_BUILTIN_CATALOG) - 1),
+    on_optional=st.booleans(),
+)
+def test_builtin_binds_match_naive(spark, triples, fn_idx, on_optional):
+    """BIND(<builtin>(?v) AS ?d) differential: SPARQL 17.4 error→unbound
+    semantics (a failed cast / unbound operand leaves ?d unbound, the
+    solution survives) against naive Python reimplementations — applied
+    both to an always-bound var and to a maybe-unbound OPTIONAL var."""
+    render_t, naive_fn = _BUILTIN_CATALOG[fn_idx]
+    src = "?c" if on_optional else "?b"
+    text = f"""
+        SELECT ?a ?b ?c ?d WHERE {{
+            ?a <http://x/p0> ?b .
+            OPTIONAL {{ ?a <http://x/p1> ?c }}
+            BIND({render_t.format(v=src)} AS ?d)
+        }}"""
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            [(s, p, o, None) for s, p, o in triples],
+            "subject string, predicate string, object string, graph string",
+        ),
+        annotations=spark.createDataFrame(
+            [],
+            "q_s string, q_p string, q_o string, predicate string,"
+            " object string",
+        ),
+    )
+    base = _match(triples, (("var", "a"), "http://x/p0", ("var", "b")))
+    opt = _match(triples, (("var", "a"), "http://x/p1", ("var", "c")))
+    sols = _left_join(base, opt)
+    want = sorted(
+        (
+            tuple(
+                _norm(x)
+                for x in (
+                    m.get("a"),
+                    m.get("b"),
+                    m.get("c"),
+                    naive_fn(m.get(src[1:])),
+                )
+            )
+            for m in sols
+        ),
+        key=repr,
+    )
+    df = sparql_df(ds, text)
+    got = sorted(
+        (
+            tuple(_norm(r[v]) for v in ("a", "b", "c", "d"))
+            for r in df.collect()
+        ),
+        key=repr,
+    )
+    assert got == want, f"query: {text}\ndata: {triples}"
