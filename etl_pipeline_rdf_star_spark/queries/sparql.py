@@ -2056,11 +2056,15 @@ class _Planner:
                 return cols[0].cast("string")
             if fn == "tz":
                 # timezone suffix of the dateTime LEXICAL form: "" when
-                # absent (17.4.5.8); null operand propagates as unbound
+                # the zone is absent, unbound when the operand is not a
+                # dateTime at all (17.4.5.8 defines TZ only for
+                # xsd:dateTime — same try_to_timestamp gate as
+                # YEAR/MONTH/DAY; null also propagates through it)
                 s = cols[0].cast("string")
                 return F.when(
-                    s.isNull(), F.lit(None).cast("string")
-                ).otherwise(F.regexp_extract(s, r"(Z|[+-]\d{2}:\d{2})$", 1))
+                    F.try_to_timestamp(s).isNotNull(),
+                    F.regexp_extract(s, r"(Z|[+-]\d{2}:\d{2})$", 1),
+                ).otherwise(F.lit(None).cast("string"))
             if fn in ("uuid", "struuid"):
                 u = F.expr("uuid()")
                 return F.concat(F.lit("urn:uuid:"), u) if fn == "uuid" else u
@@ -2072,18 +2076,21 @@ class _Planner:
                 # the engine's serialized quoted-term form — matches
                 # dataset_from_quads' rendering of quoted objects exactly,
                 # so TRIPLE(?s,?p,?o) = ?t round-trips with isTRIPLE(?t).
-                # Any unbound arg is a SPARQL error → unbound (concat_ws
-                # would silently SKIP nulls and emit a malformed term)
-                parts = [c.cast("string") for c in cols]
-                all_bound = F.lit(True)
-                for p in parts:
-                    all_bound = all_bound & p.isNotNull()
-                return F.when(
-                    all_bound,
-                    F.concat_ws(
-                        " ", F.lit("<<"), *parts, F.lit(">>")
-                    ),
-                ).otherwise(F.lit(None).cast("string"))
+                # F.concat propagates an unbound arg to unbound (SPARQL
+                # error semantics); a subject/predicate carrying
+                # whitespace (a spaced literal or a nested serialized
+                # triple term) is not an IRI/bnode → also error→unbound,
+                # and minting it anyway would produce a term the
+                # whitespace-tokenizing accessors mis-parse
+                s, p, o = (c.cast("string") for c in cols)
+                valid_sp = ~s.rlike(r"\s") & ~p.rlike(r"\s")
+                minted = F.concat(
+                    F.lit("<< "), s, F.lit(" "), p, F.lit(" "), o,
+                    F.lit(" >>"),
+                )
+                return F.when(valid_sp, minted).otherwise(
+                    F.lit(None).cast("string")
+                )
             if fn in ("subject", "predicate", "object"):
                 # accessors error → unbound (null) on a non-triple term.
                 # subject/predicate are IRIs or bnodes (no spaces); the

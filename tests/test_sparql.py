@@ -1856,3 +1856,26 @@ def test_object_accessor_keeps_spaced_literal_whole(spark):
             BIND(OBJECT(?t) AS ?o2)
         }"""), "o2")
     assert rows_ == [("some spaced value",)]
+
+
+def test_tz_non_datetime_is_unbound(dataset):
+    # TZ is defined only for dateTime: a plain literal leaves the var
+    # unbound (not ""), same try_to_timestamp gate as YEAR/MONTH/DAY
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?z WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(TZ(?t) AS ?z)
+        }"""), "z")
+    assert rows_ == [(None,)]
+
+
+def test_triple_rejects_non_iri_subject(dataset):
+    # a spaced literal subject is not an IRI/bnode: TRIPLE errors ->
+    # unbound instead of minting a term the accessors would mis-parse
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?t2 ?s2 WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(TRIPLE(CONCAT(?t, " extra"), dct:title, "x") AS ?t2)
+            BIND(SUBJECT(?t2) AS ?s2)
+        }"""), "t2", "s2")
+    assert rows_ == [(None, None)]

@@ -961,8 +961,15 @@ def _n_ceil(v):
 
 def _n_tz(v):
     import re as _re
+    from datetime import datetime
 
+    # TZ is defined only for dateTime (17.4.5.8): non-dateTime lexical
+    # → error → unbound; zone-less dateTime → ""
     if v is None:
+        return None
+    try:
+        datetime.fromisoformat(v.replace("Z", "+00:00"))
+    except ValueError:
         return None
     m = _re.search(r"(Z|[+-]\d{2}:\d{2})$", v)
     return m.group(1) if m else ""
@@ -1003,6 +1010,12 @@ _BUILTIN_CATALOG = [
     (
         "PREDICATE(TRIPLE(<http://x/s0>, <http://x/p0>, {v}))",
         lambda v: None if v is None else "http://x/p0",
+    ),
+    (
+        # subject position: a spaced literal or serialized triple term
+        # is not an IRI/bnode → TRIPLE errors → whole chain unbound
+        'OBJECT(TRIPLE({v}, <http://x/p0>, "o"))',
+        lambda v: None if v is None or " " in v else "o",
     ),
 ]
 
