@@ -41,9 +41,15 @@ def get_spark(
         # JVM unified logging defaults WARNING-level messages to STDOUT
         # (observed: "[gc,alloc] ... Retried waiting for GCLocker" under
         # allocation pressure), which corrupts harnesses that parse this
-        # process's stdout as one JSON line (bench.py contract). Route GC
-        # logging to stderr instead of silencing it.
-        .config("spark.driver.extraJavaOptions", "-Xlog:gc*=warning:stderr")
+        # process's stdout as one JSON line (bench.py contract). Merely
+        # ADDING "-Xlog:gc*=warning:stderr" is not enough — the default
+        # "stdout all=warning" output stays active and the message goes
+        # to BOTH streams (verified via -Xlog:logging=debug). Disable
+        # the default config first, then route all warnings to stderr.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xlog:disable -Xlog:all=warning:stderr",
+        )
     )
     return builder.getOrCreate()
 
