@@ -69,6 +69,17 @@ _NUM_RE = re.compile(r"^[+-]?(\d+(\.\d+)?([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)$"
 _TRIPLE_TERM_RE = r"^<< \S+ \S+ .* >>$"
 
 
+def _serialize_quoted(t) -> str:
+    """Render a parsed quoted-triple Term in the engine's serialized
+    form (same spacing as dataset_from_quads / the TRIPLE() builtin)."""
+    parts = []
+    for c in t.value:
+        parts.append(
+            _serialize_quoted(c) if c.kind == "quoted" else str(c.value)
+        )
+    return f"<< {parts[0]} {parts[1]} {parts[2]} >>"
+
+
 class SparqlParseError(ValueError):
     pass
 
@@ -1904,6 +1915,11 @@ class _Planner:
                 return F.lit(float(t.value) if "." in t.value or "e" in t.value.lower() else int(t.value))
             if t.kind in ("literal", "iri"):
                 return F.lit(str(t.value))
+            if t.kind == "quoted":
+                # an explicit quoted-triple TERM in expression position
+                # (FILTER(?t = << s p o >>), IN lists, BIND) compares
+                # against the engine's serialized quoted-term form
+                return F.lit(_serialize_quoted(t))
             raise SparqlUnsupported(f"expr term {t.kind}")
         if e.op in ("and", "or"):
             a, b = (self._expr_col(x, df) for x in e.args)

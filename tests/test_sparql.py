@@ -1879,3 +1879,24 @@ def test_triple_rejects_non_iri_subject(dataset):
             BIND(SUBJECT(?t2) AS ?s2)
         }"""), "t2", "s2")
     assert rows_ == [(None, None)]
+
+
+def test_quoted_triple_term_in_expression(dataset):
+    # an explicit << s p o >> TERM inside FILTER/BIND compares against
+    # the serialized quoted-term form (same convention as TRIPLE())
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?ok WHERE {
+            ex:dataset/DS2 dcat:theme ?th .
+            BIND(TRIPLE(ex:dataset/DS2, dcat:theme, ?th) AS ?t)
+            BIND(?t = << ex:dataset/DS2 dcat:theme ex:themes/Marketing >>
+                 AS ?ok)
+        }"""), "ok")
+    assert rows_ == [(True,)]
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?d WHERE {
+            ?d dcat:theme ?th .
+            FILTER(TRIPLE(?d, dcat:theme, ?th) IN (
+                << ex:dataset/DS1 dcat:theme ex:themes/Finance >>,
+                << ex:dataset/DS4 dcat:theme ex:themes/Ops >>))
+        } ORDER BY ?d"""), "d")
+    assert rows_ == [(_ds("DS1"),), (_ds("DS4"),)]
