@@ -35,6 +35,20 @@ Endpoints:
   same result document as the JSON POST.
 * ``GET /health`` — liveness + table version.
 * ``GET /stats`` — ledger/table summary (reference /stats).
+* Workbench explorer endpoints (rdf-workbench.py's REST surface, served
+  from the same lake-backed operators the corpus proves):
+  ``GET /batches`` (:327), ``GET /api/graphs`` (:631),
+  ``GET /api/class/properties?uri=`` (:807),
+  ``GET /api/class/neighbors?uri=`` (:720),
+  ``GET /api/class/restrictions?uri=`` (:864),
+  ``GET /api/class/individuals?uri=&limit=`` (:1115),
+  ``GET /api/individual/details?uri=`` (:1263).
+  Response keys mirror the reference where the data model maps 1:1
+  (count envelopes, uri/tripleCount, batchNumber/status); panels whose
+  reference query is ontology-schema-driven (owl:DatatypeProperty
+  domains) serve this engine's instance-data-driven explorer semantics
+  instead — the same divergence the oracle-green ``class_properties``
+  corpus entry documents.
 
 Temp views are session-global: run ONE QueryServer per SparkSession (or
 distinct ``register_views`` prefixes) — a second server's views would
@@ -124,6 +138,48 @@ class QueryServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _explorer(self, parsed) -> bool:
+                """Dispatch the workbench explorer endpoints; True when
+                the path was one of them (response already sent)."""
+                qs = parse_qs(parsed.query)
+
+                def arg(name: str) -> str:
+                    v = (qs.get(name) or [""])[0]
+                    if not v:
+                        raise ValueError(f"missing query param {name!r}")
+                    return v
+
+                routes = {
+                    "/batches": lambda: outer.batches_doc(),
+                    "/api/graphs": lambda: outer.graphs_doc(),
+                    "/api/class/properties": lambda: outer.class_properties_doc(
+                        arg("uri")
+                    ),
+                    "/api/class/neighbors": lambda: outer.class_neighbors_doc(
+                        arg("uri")
+                    ),
+                    "/api/class/restrictions": (
+                        lambda: outer.class_restrictions_doc(arg("uri"))
+                    ),
+                    "/api/class/individuals": (
+                        lambda: outer.class_individuals_doc(
+                            arg("uri"),
+                            limit=int((qs.get("limit") or ["20"])[0]),
+                        )
+                    ),
+                    "/api/individual/details": (
+                        lambda: outer.individual_details_doc(arg("uri"))
+                    ),
+                }
+                fn = routes.get(parsed.path)
+                if fn is None:
+                    return False
+                try:
+                    self._send(200, fn())
+                except ValueError as e:
+                    self._send(400, {"detail": str(e)})
+                return True
+
             def do_GET(self) -> None:
                 parsed = urlsplit(self.path)
                 try:
@@ -131,6 +187,8 @@ class QueryServer:
                         self._send(200, outer.health())
                     elif parsed.path == "/stats":
                         self._send(200, outer.stats())
+                    elif self._explorer(parsed):
+                        pass
                     elif parsed.path == "/sparql":
                         # SPARQL Protocol GET form (reference
                         # fastapi_sparql_server.py:212 `GET /sparql?query=`)
@@ -313,6 +371,176 @@ class QueryServer:
             "data_files": len(snap.files),
             "committed_batches": len(snap.committed_batches),
             "views": self.views,
+        }
+
+    # -- workbench explorer endpoints --------------------------------------
+    #
+    # Each serves one panel of the reference's class explorer
+    # (rdf-workbench.py) from the engine's lake-backed operators
+    # (operators/graph.py — the corpus proves them against DuckDB
+    # oracles). Results are bounded by max_limit like every other
+    # endpoint; a fresh snapshot-pinned triples frame is built per call.
+
+    def _triples(self):
+        with self._view_lock:
+            self._refresh()
+            return self.engine.triples_view()
+
+    def _rows(self, df, order_cols: list[str]) -> list[dict]:
+        rows = df.orderBy(*order_cols).limit(self.max_limit).collect()
+        return [r.asDict() for r in rows]
+
+    def batches_doc(self) -> dict[str, Any]:
+        """GET /batches (rdf-workbench.py:327): batch list, newest first."""
+        import pyspark.sql.functions as F
+
+        lv = self.engine.ledger_view()
+        rows = lv.orderBy(F.col("batch_id").desc()).limit(self.max_limit).collect()
+        batches = [
+            {
+                "batch": f"http://example.org/batch/{r['batch_id']}",
+                "batchNumber": r["batch_id"],
+                "status": r["status"],
+                "events": r["events"],
+                "upserts": r["upserts"],
+                "deletes": r["deletes"],
+            }
+            for r in rows
+        ]
+        return {"count": len(batches), "batches": batches}
+
+    def graphs_doc(self) -> dict[str, Any]:
+        """GET /api/graphs (rdf-workbench.py:631): named-graph census."""
+        import pyspark.sql.functions as F
+
+        rows = self._rows(
+            self._triples()
+            .groupBy("graph")
+            .agg(F.count("*").alias("n")),
+            ["graph"],
+        )
+        graphs = [
+            {"uri": r["graph"] or "default", "tripleCount": r["n"]}
+            for r in rows
+        ]
+        return {"graphs": graphs, "count": len(graphs)}
+
+    def class_properties_doc(self, uri: str) -> dict[str, Any]:
+        """GET /api/class/properties (rdf-workbench.py:807): predicates
+        the class's instances use, with usage breadth."""
+        import pyspark.sql.functions as F
+
+        from .operators.graph import class_properties
+
+        rows = self._rows(
+            class_properties(self._triples()).where(F.col("cls") == uri),
+            ["predicate"],
+        )
+        props = [
+            {
+                "prop": r["predicate"],
+                "n_subjects": r["n_subjects"],
+                "n_uses": r["n_uses"],
+            }
+            for r in rows
+        ]
+        return {"class": uri, "properties": props, "count": len(props)}
+
+    def class_neighbors_doc(self, uri: str) -> dict[str, Any]:
+        """GET /api/class/neighbors (rdf-workbench.py:720): one-hop
+        in/out neighborhood of the node."""
+        from .operators.graph import neighbors
+
+        rows = self._rows(
+            neighbors(self._triples(), uri), ["direction", "predicate", "node"]
+        )
+        out = [
+            {
+                "neighbor": r["node"],
+                "property": r["predicate"],
+                "direction": r["direction"],
+            }
+            for r in rows
+        ]
+        return {"uri": uri, "neighbors": out, "count": len(out)}
+
+    def class_restrictions_doc(self, uri: str) -> dict[str, Any]:
+        """GET /api/class/restrictions (rdf-workbench.py:864): OWL
+        restriction panel for one class."""
+        import pyspark.sql.functions as F
+
+        from .operators.graph import class_restrictions
+
+        rows = self._rows(
+            class_restrictions(self._triples()).where(F.col("cls") == uri),
+            ["property", "cardinality"],
+        )
+        res = [
+            {
+                "property": r["property"],
+                "cardinality": r["cardinality"],
+                "onClass": r["on_class"],
+                "onDataRange": r["on_data_range"],
+            }
+            for r in rows
+        ]
+        return {"class": uri, "restrictions": res, "count": len(res)}
+
+    def class_individuals_doc(self, uri: str, limit: int = 20) -> dict[str, Any]:
+        """GET /api/class/individuals (rdf-workbench.py:1115): instances
+        of the class with their label value."""
+        from .operators.graph import class_individuals
+
+        lim = min(max(1, limit), self.max_limit)
+        rows = class_individuals(self._triples(), uri, limit=lim).collect()
+        inds = [
+            {"individual": r["subject"], "label": r["label"]} for r in rows
+        ]
+        return {"class": uri, "individuals": inds, "count": len(inds)}
+
+    def individual_details_doc(self, uri: str) -> dict[str, Any]:
+        """GET /api/individual/details (rdf-workbench.py:1263): the
+        node's type, data properties (literal objects), and object links
+        in both directions — object kind comes from the stored
+        object_kind column, no re-sniffing."""
+        import pyspark.sql.functions as F
+
+        t = self._triples()
+        out_edges = self._rows(
+            t.where(F.col("subject") == uri).select(
+                "predicate", "object", "object_kind"
+            ),
+            ["predicate", "object"],
+        )
+        in_edges = self._rows(
+            t.where(F.col("object") == uri).select("subject", "predicate"),
+            ["predicate", "subject"],
+        )
+        rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        ind_type = next(
+            (e["object"] for e in out_edges if e["predicate"] == rdf_type),
+            None,
+        )
+        data_props = [
+            {"prop": e["predicate"], "value": e["object"]}
+            for e in out_edges
+            if e["object_kind"] != "iri" and e["predicate"] != rdf_type
+        ]
+        links_out = [
+            {"prop": e["predicate"], "target": e["object"]}
+            for e in out_edges
+            if e["object_kind"] == "iri" and e["predicate"] != rdf_type
+        ]
+        links_in = [
+            {"prop": e["predicate"], "source": e["subject"]}
+            for e in in_edges
+        ]
+        return {
+            "uri": uri,
+            "type": ind_type,
+            "dataProperties": data_props,
+            "objectLinksOut": links_out,
+            "objectLinksIn": links_in,
         }
 
     # -- lifecycle ---------------------------------------------------------

@@ -384,3 +384,67 @@ def test_http_describe_served(server):
     assert code == 200
     assert doc["count"] >= 2 * 6  # >=2 live files x 6 asserted triples
     assert all(s.startswith("<http://example.org/file/r1/") for s in doc["triples"])
+
+
+def _get(srv, path: str) -> tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}"
+        ) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_explorer_batches_and_graphs(server):
+    # the fixture is module-scoped and live: an earlier test may have
+    # committed batch http-b1, so assert on THIS batch's row, not on a
+    # pristine ledger
+    code, doc = _get(server, "/batches")
+    assert code == 200 and doc["count"] >= 1
+    b = next(x for x in doc["batches"] if x["batchNumber"] == "http-b0")
+    assert b["status"] in ("ACTIVE", "SUPERSEDED")
+    assert (b["events"], b["upserts"], b["deletes"]) == (3, 3, 0)
+
+    code, doc = _get(server, "/api/graphs")
+    assert code == 200 and doc["count"] >= 1
+    assert all(g["tripleCount"] > 0 for g in doc["graphs"])
+
+
+def test_explorer_class_panels(server):
+    cls = "http://example.org/SourceFile"
+    code, doc = _get(server, f"/api/class/properties?uri={cls}")
+    assert code == 200
+    props = {p["prop"]: p for p in doc["properties"]}
+    ident = "http://purl.org/dc/terms/identifier"
+    assert props[ident]["n_subjects"] >= 2  # a.py + b.py live (+ maybe new.py)
+
+    code, doc = _get(server, f"/api/class/individuals?uri={cls}")
+    assert code == 200 and doc["count"] >= 2
+    assert {"a.py", "b.py"} <= {i["label"] for i in doc["individuals"]}
+
+    # no ontology loaded: the restrictions panel is empty, not an error
+    code, doc = _get(server, f"/api/class/restrictions?uri={cls}")
+    assert code == 200 and doc["count"] == 0
+
+
+def test_explorer_node_panels(server):
+    f = "http://example.org/file/r1/a.py"
+    code, doc = _get(server, f"/api/class/neighbors?uri={f}")
+    assert code == 200 and doc["count"] >= 4
+    dirs = {n["direction"] for n in doc["neighbors"]}
+    assert "out" in dirs
+
+    code, doc = _get(server, f"/api/individual/details?uri={f}")
+    assert code == 200
+    assert doc["type"] == "http://example.org/SourceFile"
+    dp = {d["prop"]: d["value"] for d in doc["dataProperties"]}
+    assert dp["http://purl.org/dc/terms/identifier"] == "a.py"
+    assert dp["http://example.org/commit"] == "c2"  # the U won
+    links = {l["prop"]: l["target"] for l in doc["objectLinksOut"]}
+    assert links["http://example.org/repo"] == "http://example.org/repo/r1"
+
+
+def test_explorer_missing_param_is_400(server):
+    code, doc = _get(server, "/api/class/properties")
+    assert code == 400 and "uri" in doc["detail"]
