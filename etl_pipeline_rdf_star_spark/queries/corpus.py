@@ -1525,6 +1525,26 @@ def q_sparql_star_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
         }""")
 
 
+def q_sparql_datatype_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATATYPE()/LANG() served from STORED term metadata (the lake's
+    object_datatype/object_lang columns, mapping-compiled constants):
+    confidence annotations are xsd:decimal, lang values untagged
+    xsd:string. Oracle: the constants the flagship mapping declares."""
+    from .sparql import sparql_df
+
+    return sparql_df(_sparql_dataset(spark, sf_dir), """
+        PREFIX ex: <http://example.org/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?subject ?conf_dt ?lang_dt ?lang_tag WHERE {
+            ?subject ex:lang ?lang .
+            <<?subject ex:lang ?lang>> ex:confidence ?conf .
+            FILTER(DATATYPE(?conf) = xsd:decimal && ?conf > 0.9)
+            BIND(DATATYPE(?conf) AS ?conf_dt)
+            BIND(DATATYPE(?lang) AS ?lang_dt)
+            BIND(LANG(?lang) AS ?lang_tag)
+        }""")
+
+
 def q_sparql_path_same_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path SEQUENCE + INVERSE through the SPARQL front end
     (SPARQL 1.1 ``ex:repo/^ex:repo`` — files co-located in a repo),
@@ -1817,6 +1837,17 @@ WHERE round((length(content) % 100) / 100.0, 2) > 0.5""",
 SELECT DISTINCT object FROM ({_ASSERTED_SQL}) t
 WHERE predicate IN ('http://example.org/lang',
                     'http://purl.org/dc/terms/identifier')""",
+    ),
+    "sparql_datatype_lang": QueryEntry(
+        q_sparql_datatype_lang,
+        f"""
+WITH final AS (SELECT * FROM {_FINAL_SQL} f)
+SELECT {_SUBJ} AS subject,
+       'http://www.w3.org/2001/XMLSchema#decimal' AS conf_dt,
+       'http://www.w3.org/2001/XMLSchema#string' AS lang_dt,
+       '' AS lang_tag
+FROM final
+WHERE round((length(content) % 100) / 100.0, 2) > 0.9""",
     ),
     "sparql_star_accessors": QueryEntry(
         q_sparql_star_accessors,

@@ -62,6 +62,8 @@ from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _RDF_REIFIES = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 _NUM_RE = re.compile(r"^[+-]?(\d+(\.\d+)?([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)$")
 # the engine's serialized quoted-triple term "<< s p o >>" (see
@@ -252,6 +254,7 @@ _KEYWORDS = {
     "sha384", "sha512",
     "ceil", "sameterm", "iri", "uri", "tz", "uuid", "struuid", "rand",
     "istriple", "triple", "subject", "predicate", "object",
+    "langmatches",
 }
 
 # aggregate function keywords (SELECT clause + HAVING expressions)
@@ -272,6 +275,7 @@ _FN_KEYWORDS = {
     # serialized quoted-term representation "<< s p o >>"
     # (dataset_from_quads keeps non-reifies quoted objects in that form)
     "istriple", "triple", "subject", "predicate", "object",
+    "langmatches",
 }
 _PUNCT2 = ("<<", ">>", "<=", ">=", "!=", "&&", "||")
 
@@ -1077,12 +1081,17 @@ class SparqlDataset:
 
 
 def dataset_from_engine(engine) -> SparqlDataset:
-    anns = engine.annotations_view().select(
+    av = engine.annotations_view()
+    # keep stored term metadata when present: DATATYPE()/LANG() serve
+    # from it (e.g. the flagship mapping's xsd:decimal confidence)
+    extra = [c for c in ("object_datatype", "object_lang") if c in av.columns]
+    anns = av.select(
         F.col("quoted.s").alias("q_s"),
         F.col("quoted.p").alias("q_p"),
         F.col("quoted.o").alias("q_o"),
         "predicate",
         "object",
+        *extra,
     )
     return SparqlDataset(triples=engine.triples_view(), annotations=anns)
 
@@ -1323,14 +1332,88 @@ def _compat_cond(shared: list[str], fuzzy: list[str]):
     return cond
 
 
+def _meta_vars_of(q: SelectQuery) -> set[str]:
+    """Variables whose term METADATA the query inspects — the direct-var
+    arguments of DATATYPE(?v) / LANG(?v) anywhere in the query (filters,
+    BINDs, select expressions, HAVING, aggregate expressions, EXISTS
+    groups, subqueries). Collected up front so pattern matching knows to
+    carry the stored metadata columns for exactly these vars."""
+    out: set[str] = set()
+
+    def walk_expr(e) -> None:
+        if not isinstance(e, Expr):
+            return
+        if e.op == "call":
+            fn, args = e.args
+            if fn in ("datatype", "lang") and args:
+                a = args[0]
+                if (
+                    isinstance(a, Expr)
+                    and a.op == "term"
+                    and a.args[0].kind == "var"
+                ):
+                    out.add(a.args[0].value)
+            for a in args:
+                walk_expr(a)
+            return
+        if e.op == "exists":
+            walk_group(e.args[0])
+            return
+        if e.op == "in":
+            walk_expr(e.args[0])
+            for x in e.args[1]:
+                walk_expr(x)
+            return
+        for a in e.args:
+            walk_expr(a)
+
+    def walk_group(g: Group) -> None:
+        for p in g.patterns:
+            if isinstance(p, Optional_):
+                walk_group(p.group)
+            elif isinstance(p, UnionOp):
+                for sub in p.groups:
+                    walk_group(sub)
+            elif isinstance(p, MinusOp):
+                walk_group(p.group)
+            elif isinstance(p, Bind):
+                walk_expr(p.expr)
+            elif isinstance(p, SubSelect):
+                out.update(_meta_vars_of(p.query))
+        for f in g.filters:
+            if isinstance(f, ExistsFilter):
+                walk_group(f.group)
+            else:
+                walk_expr(f)
+
+    walk_group(q.where)
+    for b in q.select_binds:
+        walk_expr(b.expr)
+    for h in q.having:
+        walk_expr(h)
+    for a in q.aggregates:
+        if a.expr is not None:
+            walk_expr(a.expr)
+    for ob in q.order_by:
+        if ob and isinstance(ob[0], Expr):
+            walk_expr(ob[0])
+    return out
+
+
 class _Planner:
     def __init__(
         self,
         ds: SparqlDataset,
         from_graphs: list[str] | None = None,
         from_named: list[str] | None = None,
+        meta_vars: set[str] | None = None,
     ):
         self.ds = ds
+        # vars whose term metadata (datatype / language tag) the query
+        # inspects via DATATYPE()/LANG(): pattern matching carries the
+        # relation's stored object_datatype/object_lang columns along
+        # for them (as join-neutral marker columns)
+        self.meta_vars = meta_vars or set()
         self.from_graphs = from_graphs or []
         self.from_named = from_named or []
         # a query with ANY dataset clause uses exactly the declared
@@ -1637,7 +1720,24 @@ class _Planner:
                 raise SparqlUnsupported(f"term {term.kind} in pattern")
         if not select:  # pure existence pattern: ONE solution if any match
             return df.limit(1).select(F.lit(1).alias(_fresh("one")))
-        return df.select(*[c.alias(v) for v, c in select.items()])
+        proj = [c.alias(v) for v, c in select.items()]
+        # carry stored term metadata for vars the query inspects with
+        # DATATYPE()/LANG(); fresh '#'-marked names are never join keys
+        # (joining on them would wrongly require datatype equality where
+        # the engine's lexical join semantics don't) and projection
+        # strips them like any internal marker
+        ometa = cols.get("object")
+        if (
+            ometa is not None
+            and ometa.kind == "var"
+            and ometa.value in self.meta_vars
+        ):
+            for src, tag in (("object_datatype", "dt"), ("object_lang", "lang")):
+                if src in df.columns:
+                    proj.append(
+                        F.col(src).alias(_fresh(f"{tag}_{ometa.value}"))
+                    )
+        return df.select(*proj)
 
     def _join(
         self,
@@ -1776,7 +1876,7 @@ class _Planner:
                 else:
                     sfrom, snamed = self.from_graphs, self.from_named
                 sdf, smaybe = _select_frame(
-                    _Planner(self.ds, sfrom, snamed), p.query
+                    _Planner(self.ds, sfrom, snamed, self.meta_vars), p.query
                 )
                 df, maybe = self._join(df, maybe, sdf, smaybe, "inner")
             elif isinstance(p, UnionOp):
@@ -2121,13 +2221,66 @@ class _Planner:
                 return F.when(
                     s.rlike(_TRIPLE_TERM_RE), F.regexp_extract(s, pat, 1)
                 ).otherwise(F.lit(None).cast("string"))
-            if fn in ("str", "lang", "datatype"):
-                # our relations carry plain lexical values; str() is
-                # identity, lang()/datatype() unsupported without the
-                # metadata columns in scope
-                if fn == "str":
-                    return cols[0].cast("string")
-                raise SparqlUnsupported(f"{fn}() needs term metadata")
+            if fn == "str":
+                # relations carry plain lexical values: str() is identity
+                return cols[0].cast("string")
+            if fn in ("lang", "datatype"):
+                # 17.4.2.3/.7 over the engine's value model: when the
+                # operand is a var bound in object position of a pattern
+                # over a metadata-carrying relation (the lake engine's
+                # triples_view stores object_datatype/object_lang),
+                # _bind attached marker columns — coalesce them. Without
+                # metadata the value-shape fallback applies: IRIs/bnodes
+                # error→unbound, tagged literals rdf:langString, all
+                # other literals xsd:string / "".
+                a = args[0]
+                var = (
+                    a.args[0].value
+                    if isinstance(a, Expr)
+                    and a.op == "term"
+                    and a.args[0].kind == "var"
+                    else None
+                )
+
+                def meta(tag: str) -> Column:
+                    if var is None or df is None:
+                        return F.lit(None).cast("string")
+                    pat = re.compile(rf"^_{tag}_{re.escape(var)}#\d+$")
+                    cs = [c for c in df.columns if pat.match(c)]
+                    if not cs:
+                        return F.lit(None).cast("string")
+                    return F.coalesce(*(F.col(c) for c in cs))
+
+                from ..serving import _IRI_RE
+
+                s = cols[0].cast("string")
+                is_bnode = s.startswith("_:")
+                is_iri = s.rlike(_IRI_RE.pattern) & ~is_bnode
+                non_literal = s.isNull() | is_iri | is_bnode
+                unbound = F.lit(None).cast("string")
+                langv = meta("lang")
+                if fn == "lang":
+                    return F.when(non_literal, unbound).otherwise(
+                        F.coalesce(langv, F.lit(""))
+                    )
+                return F.when(non_literal, unbound).otherwise(
+                    F.coalesce(
+                        meta("dt"),
+                        F.when(langv.isNotNull(), F.lit(_RDF_LANGSTRING)),
+                        F.lit(_XSD_STRING),
+                    )
+                )
+            if fn == "langmatches":
+                # RFC 4647 basic filtering (17.4.3.1): '*' matches any
+                # non-empty tag; otherwise case-insensitive exact match
+                # or extended-subtag prefix (tag "en-US" matches "en")
+                tag = F.lower(cols[0].cast("string"))
+                rng = F.lower(cols[1].cast("string"))
+                return F.when(
+                    rng == "*", tag != ""
+                ).otherwise(
+                    (tag == rng) | tag.startswith(F.concat(rng, F.lit("-")))
+                )
         if e.op == "in":
             left_e, items, negated = e.args
             # IN is sugar for `?x = a || ?x = b`: each `=` does its OWN
@@ -2222,7 +2375,7 @@ def sparql_df(ds: SparqlDataset, query: str | SelectQuery) -> DataFrame:
     SELECT → one column per projected variable; ASK → the WHERE frame
     (use ``to_ask_json``); CONSTRUCT → (subject, predicate, object)."""
     q = parse_sparql(query) if isinstance(query, str) else query
-    planner = _Planner(ds, q.from_graphs, q.from_named)
+    planner = _Planner(ds, q.from_graphs, q.from_named, _meta_vars_of(q))
     if q.form == "select":
         out, _ = _select_frame(planner, q)
         return out

@@ -1900,3 +1900,102 @@ def test_quoted_triple_term_in_expression(dataset):
                 << ex:dataset/DS4 dcat:theme ex:themes/Ops >>))
         } ORDER BY ?d"""), "d")
     assert rows_ == [(_ds("DS1"),), (_ds("DS4"),)]
+
+
+# -- term metadata: DATATYPE() / LANG() / LANGMATCHES -------------------------
+
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_LANGSTRING = RDF + "langString"
+
+
+@pytest.fixture(scope="module")
+def meta_dataset(spark) -> SparqlDataset:
+    rows = [
+        (EX + "d1", EX + "val", "3.14", None, XSD + "decimal", None),
+        (EX + "d1", EX + "label", "hello", None, None, "en"),
+        (EX + "d2", EX + "label", "bonjour", None, None, "fr-BE"),
+        (EX + "d1", EX + "name", "plain", None, None, None),
+        (EX + "d1", EX + "link", EX + "d2", None, None, None),
+    ]
+    return SparqlDataset(
+        triples=spark.createDataFrame(
+            rows,
+            "subject string, predicate string, object string, graph string,"
+            " object_datatype string, object_lang string",
+        )
+    )
+
+
+def test_datatype_from_stored_metadata(meta_dataset):
+    rows_ = rows(sparql_df(meta_dataset, PROLOGUE + """
+        SELECT ?p ?dt WHERE {
+            ex:d1 ?p ?o . BIND(DATATYPE(?o) AS ?dt)
+        } ORDER BY ?p"""), "p", "dt")
+    assert rows_ == [
+        (EX + "label", RDF_LANGSTRING),  # tagged literal
+        (EX + "link", None),             # IRI: error -> unbound
+        (EX + "name", XSD + "string"),   # simple literal
+        (EX + "val", XSD + "decimal"),   # stored datatype
+    ]
+
+
+def test_lang_and_filter_on_datatype(meta_dataset):
+    rows_ = rows(sparql_df(meta_dataset, PROLOGUE + """
+        SELECT ?p ?l WHERE {
+            ex:d1 ?p ?o . BIND(LANG(?o) AS ?l)
+        } ORDER BY ?p"""), "p", "l")
+    assert rows_ == [
+        (EX + "label", "en"),
+        (EX + "link", None),  # IRI: error -> unbound
+        (EX + "name", ""),    # untagged literal
+        (EX + "val", ""),
+    ]
+    # FILTER over DATATYPE end-to-end
+    rows_ = rows(sparql_df(meta_dataset, PROLOGUE + f"""
+        SELECT ?o WHERE {{
+            ?s ?p ?o . FILTER(DATATYPE(?o) = <{XSD}decimal>)
+        }}"""), "o")
+    assert rows_ == [("3.14",)]
+
+
+def test_langmatches_basic_filtering(meta_dataset):
+    # exact, extended-subtag prefix, and '*' ranges (RFC 4647 basic)
+    rows_ = rows(sparql_df(meta_dataset, PROLOGUE + """
+        SELECT ?o WHERE {
+            ?s ?p ?o . FILTER(LANGMATCHES(LANG(?o), "fr"))
+        }"""), "o")
+    assert rows_ == [("bonjour",)]  # fr-BE matches range fr
+    rows_ = rows(sparql_df(meta_dataset, PROLOGUE + """
+        SELECT ?o WHERE {
+            ?s ?p ?o . FILTER(LANGMATCHES(LANG(?o), "*"))
+        } ORDER BY ?o"""), "o")
+    assert rows_ == [("bonjour",), ("hello",)]
+
+
+def test_datatype_fallback_without_metadata_columns(dataset):
+    # plain 4-column relations: value-shape fallback (no metadata cols)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?dt ?l WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(DATATYPE(?t) AS ?dt) BIND(LANG(?t) AS ?l)
+        }"""), "dt", "l")
+    assert rows_ == [(XSD + "string", "")]
+
+
+def test_metadata_survives_optional_and_union(meta_dataset):
+    # metadata markers ride through OPTIONAL (left join) and UNION
+    # (null-padded branch alignment)
+    rows_ = rows(sparql_df(meta_dataset, PROLOGUE + """
+        SELECT ?s ?dt WHERE {
+            ?s ex:name ?n .
+            OPTIONAL { ?s ex:val ?v }
+            BIND(DATATYPE(?v) AS ?dt)
+        }"""), "s", "dt")
+    assert rows_ == [(EX + "d1", XSD + "decimal")]
+    rows_ = rows(sparql_df(meta_dataset, PROLOGUE + """
+        SELECT ?dt WHERE {
+            { ex:d1 ex:val ?o } UNION { ex:d1 ex:name ?o }
+            BIND(DATATYPE(?o) AS ?dt)
+        } ORDER BY ?dt"""), "dt")
+    assert rows_ == [(XSD + "decimal",), (XSD + "string",)]
