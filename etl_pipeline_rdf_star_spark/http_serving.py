@@ -382,9 +382,11 @@ class QueryServer:
     # endpoint; a fresh snapshot-pinned triples frame is built per call.
 
     def _triples(self):
-        with self._view_lock:
-            self._refresh()
-            return self.engine.triples_view()
+        # explorer frames read the engine's snapshot-pinned triples view
+        # directly — they never touch the SQL temp views, so no
+        # register_views refresh (and no _view_lock contention with
+        # running /query requests) is needed here (review finding)
+        return self.engine.triples_view()
 
     def _rows(self, df, order_cols: list[str]) -> list[dict]:
         rows = df.orderBy(*order_cols).limit(self.max_limit).collect()
@@ -395,7 +397,14 @@ class QueryServer:
         import pyspark.sql.functions as F
 
         lv = self.engine.ledger_view()
-        rows = lv.orderBy(F.col("batch_id").desc()).limit(self.max_limit).collect()
+        # newest first by COMMIT recency (table_version is the lake
+        # version the batch committed at — monotone), not by batch_id
+        # string order, which misorders caller-supplied ids like
+        # "b9"/"b10" (review finding); id ordering breaks ties
+        order = [F.col("batch_id").desc()]
+        if "table_version" in lv.columns:
+            order.insert(0, F.col("table_version").desc())
+        rows = lv.orderBy(*order).limit(self.max_limit).collect()
         batches = [
             {
                 "batch": f"http://example.org/batch/{r['batch_id']}",
@@ -513,7 +522,12 @@ class QueryServer:
             ["predicate", "object"],
         )
         in_edges = self._rows(
-            t.where(F.col("object") == uri).select("subject", "predicate"),
+            # kind-filtered like the out direction: a LITERAL whose
+            # lexical form equals the URI is not an incoming object link
+            # (review finding)
+            t.where(
+                (F.col("object") == uri) & (F.col("object_kind") == "iri")
+            ).select("subject", "predicate"),
             ["predicate", "subject"],
         )
         rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"

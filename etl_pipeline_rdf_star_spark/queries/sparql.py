@@ -64,6 +64,9 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _RDF_REIFIES = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
 _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+# xsd:dateTime lexical shape (date 'T' time, optional fraction/zone) —
+# what TZ() accepts; shared with the property-suite naive model
+_DATETIME_LEX_RE = r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$"
 
 _NUM_RE = re.compile(r"^[+-]?(\d+(\.\d+)?([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)$")
 # the engine's serialized quoted-triple term "<< s p o >>" (see
@@ -72,10 +75,19 @@ _TRIPLE_TERM_RE = r"^<< \S+ \S+ .* >>$"
 
 
 def _serialize_quoted(t) -> str:
-    """Render a parsed quoted-triple Term in the engine's serialized
-    form (same spacing as dataset_from_quads / the TRIPLE() builtin)."""
+    """Render a parsed GROUND quoted-triple Term in the engine's
+    serialized form (same spacing as dataset_from_quads / the TRIPLE()
+    builtin). A variable inside an expression-position quoted term has
+    no constant rendering — silently serializing its NAME would make
+    every comparison false (review finding) — so it rejects loudly;
+    use TRIPLE(?s, p, o) for per-row construction."""
     parts = []
     for c in t.value:
+        if c.kind == "var":
+            raise SparqlUnsupported(
+                "variable inside a quoted-triple expression term — "
+                "use TRIPLE() to build a per-row triple term"
+            )
         parts.append(
             _serialize_quoted(c) if c.kind == "quoted" else str(c.value)
         )
@@ -1732,7 +1744,11 @@ class _Planner:
             and ometa.kind == "var"
             and ometa.value in self.meta_vars
         ):
-            for src, tag in (("object_datatype", "dt"), ("object_lang", "lang")):
+            for src, tag in (
+                ("object_datatype", "dt"),
+                ("object_lang", "lang"),
+                ("object_kind", "kind"),
+            ):
                 if src in df.columns:
                     proj.append(
                         F.col(src).alias(_fresh(f"{tag}_{ometa.value}"))
@@ -1876,7 +1892,9 @@ class _Planner:
                 else:
                     sfrom, snamed = self.from_graphs, self.from_named
                 sdf, smaybe = _select_frame(
-                    _Planner(self.ds, sfrom, snamed, self.meta_vars), p.query
+                    _Planner(self.ds, sfrom, snamed, self.meta_vars),
+                    p.query,
+                    keep_meta=True,
                 )
                 df, maybe = self._join(df, maybe, sdf, smaybe, "inner")
             elif isinstance(p, UnionOp):
@@ -2172,13 +2190,14 @@ class _Planner:
                 return cols[0].cast("string")
             if fn == "tz":
                 # timezone suffix of the dateTime LEXICAL form: "" when
-                # the zone is absent, unbound when the operand is not a
-                # dateTime at all (17.4.5.8 defines TZ only for
-                # xsd:dateTime — same try_to_timestamp gate as
-                # YEAR/MONTH/DAY; null also propagates through it)
+                # the zone is absent, unbound when the operand is not an
+                # xsd:dateTime lexical (17.4.5.8 defines TZ only for
+                # dateTime — a shape gate, not try_to_timestamp, which
+                # over-accepts dates and space-separated forms; review
+                # finding). Null propagates through the rlike.
                 s = cols[0].cast("string")
                 return F.when(
-                    F.try_to_timestamp(s).isNotNull(),
+                    s.rlike(_DATETIME_LEX_RE),
                     F.regexp_extract(s, r"(Z|[+-]\d{2}:\d{2})$", 1),
                 ).otherwise(F.lit(None).cast("string"))
             if fn in ("uuid", "struuid"):
@@ -2256,16 +2275,28 @@ class _Planner:
                 s = cols[0].cast("string")
                 is_bnode = s.startswith("_:")
                 is_iri = s.rlike(_IRI_RE.pattern) & ~is_bnode
-                non_literal = s.isNull() | is_iri | is_bnode
+                langv, dtv, kindv = meta("lang"), meta("dt"), meta("kind")
+                # term-kind classification precedence: the stored
+                # object_kind column is exact; stored datatype/lang mark
+                # a literal even when its lexical form LOOKS like an IRI
+                # (xsd:anyURI values); the shape sniff is the last
+                # resort on metadata-less relations (review finding:
+                # sniff-first returned unbound for https-shaped literals
+                # with a stored datatype)
+                shape_nonlit = is_iri | is_bnode
+                non_literal = s.isNull() | F.coalesce(
+                    F.when(kindv.isNotNull(), kindv != "literal"),
+                    F.when(dtv.isNotNull() | langv.isNotNull(), F.lit(False)),
+                    shape_nonlit,
+                )
                 unbound = F.lit(None).cast("string")
-                langv = meta("lang")
                 if fn == "lang":
                     return F.when(non_literal, unbound).otherwise(
                         F.coalesce(langv, F.lit(""))
                     )
                 return F.when(non_literal, unbound).otherwise(
                     F.coalesce(
-                        meta("dt"),
+                        dtv,
                         F.when(langv.isNotNull(), F.lit(_RDF_LANGSTRING)),
                         F.lit(_XSD_STRING),
                     )
@@ -2618,7 +2649,7 @@ def _agg_col(a: Aggregate, df: DataFrame) -> Column:
 
 
 def _select_frame(
-    planner: "_Planner", q: SelectQuery
+    planner: "_Planner", q: SelectQuery, keep_meta: bool = False
 ) -> tuple[DataFrame, set[str]]:
     """Compile a SELECT end-to-end: WHERE group, aggregation + HAVING +
     trailing VALUES + projection + DISTINCT/ORDER/OFFSET/LIMIT. Shared by
@@ -2673,11 +2704,35 @@ def _select_frame(
         vdf, vmaybe = planner._values_df(q.values)
         df, maybe = planner._join(df, maybe, vdf, vmaybe, "inner")
     if project_cols is not None:
-        df = df.select(*project_cols)
+        extra: list[str] = []
+        if keep_meta and planner.meta_vars:
+            # subquery projection: keep the metadata markers of projected
+            # vars so an OUTER DATATYPE()/LANG() still sees the stored
+            # metadata (review finding: the projection silently dropped
+            # them and the outer call fell back to the value-shape
+            # heuristic); the enclosing query's own final projection
+            # strips markers as usual
+            pats = [
+                re.compile(rf"^_(dt|lang|kind)_{re.escape(v)}#\d+$")
+                for v in planner.meta_vars
+                if v in project_cols
+            ]
+            extra = [
+                c for c in df.columns if any(p.match(c) for p in pats)
+            ]
+        df = df.select(*project_cols, *extra)
     else:
         # SELECT *: internal existence-marker columns from variable-free
-        # patterns are not query variables (review finding)
-        df = df.drop(*[c for c in df.columns if _MARKER_RE.match(c)])
+        # patterns are not query variables (review finding); a subquery
+        # keeps metadata markers for the outer DATATYPE()/LANG()
+        keep = re.compile(r"^_(dt|lang|kind)_\w+#\d+$") if keep_meta else None
+        df = df.drop(
+            *[
+                c
+                for c in df.columns
+                if _MARKER_RE.match(c) and not (keep and keep.match(c))
+            ]
+        )
     if q.distinct:
         df = df.distinct()
     if q.order_by:

@@ -1912,17 +1912,24 @@ RDF_LANGSTRING = RDF + "langString"
 @pytest.fixture(scope="module")
 def meta_dataset(spark) -> SparqlDataset:
     rows = [
-        (EX + "d1", EX + "val", "3.14", None, XSD + "decimal", None),
-        (EX + "d1", EX + "label", "hello", None, None, "en"),
-        (EX + "d2", EX + "label", "bonjour", None, None, "fr-BE"),
-        (EX + "d1", EX + "name", "plain", None, None, None),
-        (EX + "d1", EX + "link", EX + "d2", None, None, None),
+        (EX + "d1", EX + "val", "3.14", None, XSD + "decimal", None, "literal"),
+        (EX + "d1", EX + "label", "hello", None, None, "en", "literal"),
+        (EX + "d2", EX + "label", "bonjour", None, None, "fr-BE", "literal"),
+        (EX + "d1", EX + "name", "plain", None, None, None, "literal"),
+        (EX + "d1", EX + "link", EX + "d2", None, None, None, "iri"),
+        # IRI-SHAPED literal (xsd:anyURI): stored metadata must beat the
+        # shape sniff
+        (EX + "d3", EX + "homepage", "https://example.com/home", None,
+         XSD + "anyURI", None, "literal"),
+        # IRI of a scheme the sniff does not recognize: stored kind wins
+        (EX + "d3", EX + "mbox", "mailto:d3@example.com", None, None, None,
+         "iri"),
     ]
     return SparqlDataset(
         triples=spark.createDataFrame(
             rows,
             "subject string, predicate string, object string, graph string,"
-            " object_datatype string, object_lang string",
+            " object_datatype string, object_lang string, object_kind string",
         )
     )
 
@@ -1999,3 +2006,54 @@ def test_metadata_survives_optional_and_union(meta_dataset):
             BIND(DATATYPE(?o) AS ?dt)
         } ORDER BY ?dt"""), "dt")
     assert rows_ == [(XSD + "decimal",), (XSD + "string",)]
+
+
+def test_stored_metadata_beats_shape_sniff(meta_dataset):
+    # anyURI literal looks like an IRI but IS a literal (stored
+    # datatype/kind); mailto: IRI looks like a literal to the sniff but
+    # stored kind says iri -> error -> unbound
+    rows_ = rows(sparql_df(meta_dataset, PROLOGUE + """
+        SELECT ?p ?dt WHERE {
+            ex:d3 ?p ?o . BIND(DATATYPE(?o) AS ?dt)
+        } ORDER BY ?p"""), "p", "dt")
+    assert rows_ == [
+        (EX + "homepage", XSD + "anyURI"),
+        (EX + "mbox", None),
+    ]
+
+
+def test_datatype_survives_subquery_projection(meta_dataset):
+    rows_ = rows(sparql_df(meta_dataset, PROLOGUE + f"""
+        SELECT ?o WHERE {{
+            {{ SELECT ?o WHERE {{ ?s ex:val ?o }} }}
+            FILTER(DATATYPE(?o) = <{XSD}decimal>)
+        }}"""), "o")
+    assert rows_ == [("3.14",)]
+    # SELECT * subquery keeps metadata too
+    rows_ = rows(sparql_df(meta_dataset, PROLOGUE + f"""
+        SELECT ?o WHERE {{
+            {{ SELECT * WHERE {{ ?s ex:val ?o }} }}
+            FILTER(DATATYPE(?o) = <{XSD}decimal>)
+        }}"""), "o")
+    assert rows_ == [("3.14",)]
+
+
+def test_quoted_expression_term_with_var_is_loud(dataset):
+    with pytest.raises(SparqlUnsupported):
+        sparql_df(dataset, PROLOGUE + """
+            SELECT ?t WHERE {
+                ?d dct:title ?t .
+                FILTER(?t = << ex:dataset/DS1 dct:title ?t >>)
+            }""")
+
+
+def test_tz_rejects_non_datetime_shapes(dataset):
+    # xsd:date and space-separated forms are NOT dateTime lexicals:
+    # unbound, not "" (try_to_timestamp over-accepted both)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?a ?b WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(TZ("2024-01-01") AS ?a)
+            BIND(TZ("2024-01-01 10:00:00+05:30") AS ?b)
+        }"""), "a", "b")
+    assert rows_ == [(None, None)]

@@ -961,15 +961,15 @@ def _n_ceil(v):
 
 def _n_tz(v):
     import re as _re
-    from datetime import datetime
+
+    from etl_pipeline_rdf_star_spark.queries.sparql import _DATETIME_LEX_RE
 
     # TZ is defined only for dateTime (17.4.5.8): non-dateTime lexical
-    # → error → unbound; zone-less dateTime → ""
-    if v is None:
-        return None
-    try:
-        datetime.fromisoformat(v.replace("Z", "+00:00"))
-    except ValueError:
+    # → error → unbound; zone-less dateTime → "". Shares the ENGINE's
+    # lexical-shape regex so the two models cannot drift (review
+    # finding: datetime.fromisoformat over-accepted dates and
+    # space-separated forms exactly like the old try_to_timestamp gate)
+    if v is None or not _re.match(_DATETIME_LEX_RE, v):
         return None
     m = _re.search(r"(Z|[+-]\d{2}:\d{2})$", v)
     return m.group(1) if m else ""
@@ -1014,8 +1014,12 @@ _BUILTIN_CATALOG = [
     (
         # subject position: a spaced literal or serialized triple term
         # is not an IRI/bnode → TRIPLE errors → whole chain unbound
+        # (oracle matches the engine's ANY-whitespace guard, not just
+        # literal spaces)
         'OBJECT(TRIPLE({v}, <http://x/p0>, "o"))',
-        lambda v: None if v is None or " " in v else "o",
+        lambda v: None
+        if v is None or __import__("re").search(r"\s", v)
+        else "o",
     ),
 ]
 
