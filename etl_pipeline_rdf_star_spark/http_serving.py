@@ -524,9 +524,10 @@ class QueryServer:
         in_edges = self._rows(
             # kind-filtered like the out direction: a LITERAL whose
             # lexical form equals the URI is not an incoming object link
-            # (review finding)
+            # (review finding) — but bnode objects ARE links (second
+            # review pass: == "iri" dropped restriction-bnode edges)
             t.where(
-                (F.col("object") == uri) & (F.col("object_kind") == "iri")
+                (F.col("object") == uri) & (F.col("object_kind") != "literal")
             ).select("subject", "predicate"),
             ["predicate", "subject"],
         )

@@ -1213,6 +1213,18 @@ def _fresh(prefix: str) -> str:
 # SELECT * and DESCRIBE * filters from drifting (review finding)
 _MARKER_RE = re.compile(r"^_\w+#\d+$")
 
+# metadata marker columns (_bind attaches them; DATATYPE()/LANG() read
+# them): one naming scheme, one regex builder — three call sites once
+# drifted apart hand-building slightly different patterns (review
+# finding)
+_META_TAGS = ("dt", "lang", "kind")
+
+
+def _meta_marker_re(var: str | None = None, tag: str | None = None):
+    t = tag if tag is not None else "(?:" + "|".join(_META_TAGS) + ")"
+    v = re.escape(var) if var is not None else r"\w+"
+    return re.compile(rf"^_{t}_{v}#\d+$")
+
 
 def _path_nullable(p: Path) -> bool:
     """Can the path match the zero-length (empty) route? NB ``plus`` is
@@ -2197,7 +2209,12 @@ class _Planner:
                 # finding). Null propagates through the rlike.
                 s = cols[0].cast("string")
                 return F.when(
-                    s.rlike(_DATETIME_LEX_RE),
+                    # shape AND value validity: the regex rejects dates /
+                    # space-separated forms try_to_timestamp accepts;
+                    # try_to_timestamp rejects month-13-style lexicals
+                    # the regex accepts (review finding)
+                    s.rlike(_DATETIME_LEX_RE)
+                    & F.try_to_timestamp(s).isNotNull(),
                     F.regexp_extract(s, r"(Z|[+-]\d{2}:\d{2})$", 1),
                 ).otherwise(F.lit(None).cast("string"))
             if fn in ("uuid", "struuid"):
@@ -2264,7 +2281,7 @@ class _Planner:
                 def meta(tag: str) -> Column:
                     if var is None or df is None:
                         return F.lit(None).cast("string")
-                    pat = re.compile(rf"^_{tag}_{re.escape(var)}#\d+$")
+                    pat = _meta_marker_re(var=var, tag=tag)
                     cs = [c for c in df.columns if pat.match(c)]
                     if not cs:
                         return F.lit(None).cast("string")
@@ -2703,6 +2720,7 @@ def _select_frame(
         # VALUES variable the SELECT clause doesn't name
         vdf, vmaybe = planner._values_df(q.values)
         df, maybe = planner._join(df, maybe, vdf, vmaybe, "inner")
+    kept_meta = False
     if project_cols is not None:
         extra: list[str] = []
         if keep_meta and planner.meta_vars:
@@ -2713,28 +2731,41 @@ def _select_frame(
             # heuristic); the enclosing query's own final projection
             # strips markers as usual
             pats = [
-                re.compile(rf"^_(dt|lang|kind)_{re.escape(v)}#\d+$")
+                _meta_marker_re(var=v)
                 for v in planner.meta_vars
                 if v in project_cols
             ]
             extra = [
                 c for c in df.columns if any(p.match(c) for p in pats)
             ]
+        kept_meta = bool(extra)
         df = df.select(*project_cols, *extra)
     else:
         # SELECT *: internal existence-marker columns from variable-free
         # patterns are not query variables (review finding); a subquery
         # keeps metadata markers for the outer DATATYPE()/LANG()
-        keep = re.compile(r"^_(dt|lang|kind)_\w+#\d+$") if keep_meta else None
-        df = df.drop(
-            *[
-                c
-                for c in df.columns
-                if _MARKER_RE.match(c) and not (keep and keep.match(c))
-            ]
+        keep = _meta_marker_re() if keep_meta else None
+        drop = [
+            c
+            for c in df.columns
+            if _MARKER_RE.match(c) and not (keep and keep.match(c))
+        ]
+        kept_meta = keep is not None and any(
+            keep.match(c) for c in df.columns
         )
+        df = df.drop(*drop)
     if q.distinct:
-        df = df.distinct()
+        if kept_meta:
+            # DISTINCT ranges over the SOLUTION columns: two UNION
+            # branches binding the same value carry different fresh
+            # marker columns (the other branch's null-padded), and a
+            # plain distinct() would wrongly keep both rows (review
+            # finding). Lexical-only dedup matches the engine's value
+            # model everywhere else.
+            sol_cols = [c for c in df.columns if not _MARKER_RE.match(c)]
+            df = df.dropDuplicates(sol_cols) if sol_cols else df.distinct()
+        else:
+            df = df.distinct()
     if q.order_by:
         keys = []
         for item, desc in q.order_by:

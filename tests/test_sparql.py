@@ -2057,3 +2057,41 @@ def test_tz_rejects_non_datetime_shapes(dataset):
             BIND(TZ("2024-01-01 10:00:00+05:30") AS ?b)
         }"""), "a", "b")
     assert rows_ == [(None, None)]
+
+
+def test_subquery_distinct_dedupes_across_marker_columns(spark):
+    # two UNION branches bind the SAME value with different fresh
+    # metadata markers; subquery DISTINCT must dedupe over solution
+    # columns, not (solution + null-padded markers)
+    rows_data = [
+        ("http://m/s1", "http://m/val", "3.14", None, XSD + "decimal",
+         None, "literal"),
+        ("http://m/s2", "http://m/val2", "3.14", None, XSD + "decimal",
+         None, "literal"),
+    ]
+    ds = SparqlDataset(
+        triples=spark.createDataFrame(
+            rows_data,
+            "subject string, predicate string, object string, graph string,"
+            " object_datatype string, object_lang string, object_kind string",
+        )
+    )
+    rows_ = rows(sparql_df(ds, f"""
+        SELECT ?o WHERE {{
+            {{ SELECT DISTINCT ?o WHERE {{
+                {{ ?s <http://m/val> ?o }} UNION {{ ?t <http://m/val2> ?o }}
+            }} }}
+            FILTER(DATATYPE(?o) = <{XSD}decimal>)
+        }}"""), "o")
+    assert rows_ == [("3.14",)]
+
+
+def test_tz_rejects_shaped_but_invalid_datetime(dataset):
+    # month 13 / hour 99 match the lexical shape but are not valid
+    # dateTimes: unbound, not ""
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?a WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(TZ("2024-13-45T99:99:99") AS ?a)
+        }"""), "a")
+    assert rows_ == [(None,)]

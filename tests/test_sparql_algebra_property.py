@@ -961,15 +961,23 @@ def _n_ceil(v):
 
 def _n_tz(v):
     import re as _re
+    from datetime import datetime
 
-    from etl_pipeline_rdf_star_spark.queries.sparql import _DATETIME_LEX_RE
-
-    # TZ is defined only for dateTime (17.4.5.8): non-dateTime lexical
-    # → error → unbound; zone-less dateTime → "". Shares the ENGINE's
-    # lexical-shape regex so the two models cannot drift (review
-    # finding: datetime.fromisoformat over-accepted dates and
-    # space-separated forms exactly like the old try_to_timestamp gate)
-    if v is None or not _re.match(_DATETIME_LEX_RE, v):
+    # TZ is defined only for valid xsd:dateTime lexicals (17.4.5.8):
+    # anything else → error → unbound; zone-less dateTime → "".
+    # INDEPENDENT of the engine's implementation (review finding: a
+    # shared regex made the shape gate circular): strict shape check
+    # (rejects dates and space-separated forms fromisoformat accepts)
+    # plus fromisoformat value validity (rejects month-13 lexicals the
+    # shape alone accepts).
+    if v is None or not _re.match(
+        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
+        v,
+    ):
+        return None
+    try:
+        datetime.fromisoformat(v.replace("Z", "+00:00"))
+    except ValueError:
         return None
     m = _re.search(r"(Z|[+-]\d{2}:\d{2})$", v)
     return m.group(1) if m else ""
@@ -1014,11 +1022,11 @@ _BUILTIN_CATALOG = [
     (
         # subject position: a spaced literal or serialized triple term
         # is not an IRI/bnode → TRIPLE errors → whole chain unbound
-        # (oracle matches the engine's ANY-whitespace guard, not just
-        # literal spaces)
+        # (oracle uses the ASCII whitespace class — Java's \\s in the
+        # engine's rlike is ASCII-only, Python's \\s is Unicode-wide)
         'OBJECT(TRIPLE({v}, <http://x/p0>, "o"))',
         lambda v: None
-        if v is None or __import__("re").search(r"\s", v)
+        if v is None or __import__("re").search(r"[ \t\n\r\f\x0b]", v)
         else "o",
     ),
 ]
