@@ -539,12 +539,12 @@ class QueryServer:
         data_props = [
             {"prop": e["predicate"], "value": e["object"]}
             for e in out_edges
-            if e["object_kind"] != "iri" and e["predicate"] != rdf_type
+            if e["object_kind"] == "literal" and e["predicate"] != rdf_type
         ]
         links_out = [
             {"prop": e["predicate"], "target": e["object"]}
             for e in out_edges
-            if e["object_kind"] == "iri" and e["predicate"] != rdf_type
+            if e["object_kind"] != "literal" and e["predicate"] != rdf_type
         ]
         links_in = [
             {"prop": e["predicate"], "source": e["subject"]}

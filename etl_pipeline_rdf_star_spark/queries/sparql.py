@@ -2208,13 +2208,19 @@ class _Planner:
                 # over-accepts dates and space-separated forms; review
                 # finding). Null propagates through the rlike.
                 s = cols[0].cast("string")
+                # shape AND value validity: the regex rejects dates /
+                # space-separated forms try_to_timestamp accepts;
+                # try_to_timestamp rejects month-13-style lexicals the
+                # regex accepts (review finding). XSD's end-of-day
+                # lexical T24:00:00[.0...] is valid but unparseable —
+                # normalize it to midnight for the validity probe only
+                # (third-pass finding).
+                probe = F.regexp_replace(
+                    s, r"T24:00:00(?=(\.0+)?(Z|[+-]|$))", "T00:00:00"
+                )
                 return F.when(
-                    # shape AND value validity: the regex rejects dates /
-                    # space-separated forms try_to_timestamp accepts;
-                    # try_to_timestamp rejects month-13-style lexicals
-                    # the regex accepts (review finding)
                     s.rlike(_DATETIME_LEX_RE)
-                    & F.try_to_timestamp(s).isNotNull(),
+                    & F.try_to_timestamp(probe).isNotNull(),
                     F.regexp_extract(s, r"(Z|[+-]\d{2}:\d{2})$", 1),
                 ).otherwise(F.lit(None).cast("string"))
             if fn in ("uuid", "struuid"):
@@ -2754,18 +2760,25 @@ def _select_frame(
             keep.match(c) for c in df.columns
         )
         df = df.drop(*drop)
+    if kept_meta:
+        # consolidate each var's per-pattern markers into ONE column per
+        # tag (coalesce): two UNION branches binding the same TERM then
+        # produce identical rows, so DISTINCT dedupes them — while two
+        # terms sharing a lexical but differing in stored datatype stay
+        # distinct rows (third review pass: lexical-only dropDuplicates
+        # merged distinct terms nondeterministically; the pass before
+        # that, plain distinct() kept null-padded duplicate rows)
+        for v in sorted(planner.meta_vars):
+            for tag in _META_TAGS:
+                pat = _meta_marker_re(var=v, tag=tag)
+                cs = [c for c in df.columns if pat.match(c)]
+                if len(cs) > 1 or (cs and q.distinct):
+                    df = df.withColumn(
+                        _fresh(f"{tag}_{v}"),
+                        F.coalesce(*(F.col(c) for c in cs)),
+                    ).drop(*cs)
     if q.distinct:
-        if kept_meta:
-            # DISTINCT ranges over the SOLUTION columns: two UNION
-            # branches binding the same value carry different fresh
-            # marker columns (the other branch's null-padded), and a
-            # plain distinct() would wrongly keep both rows (review
-            # finding). Lexical-only dedup matches the engine's value
-            # model everywhere else.
-            sol_cols = [c for c in df.columns if not _MARKER_RE.match(c)]
-            df = df.dropDuplicates(sol_cols) if sol_cols else df.distinct()
-        else:
-            df = df.distinct()
+        df = df.distinct()
     if q.order_by:
         keys = []
         for item, desc in q.order_by:

@@ -2095,3 +2095,14 @@ def test_tz_rejects_shaped_but_invalid_datetime(dataset):
             BIND(TZ("2024-13-45T99:99:99") AS ?a)
         }"""), "a")
     assert rows_ == [(None,)]
+
+
+def test_tz_end_of_day_and_negative_year(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?a ?b ?c WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(TZ("2025-02-01T24:00:00Z") AS ?a)
+            BIND(TZ("2025-02-01T24:00:00.5Z") AS ?b)
+            BIND(TZ("-2025-02-01T00:00:00+05:00") AS ?c)
+        }"""), "a", "b", "c")
+    assert rows_ == [("Z", None, "+05:00")]

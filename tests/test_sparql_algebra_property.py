@@ -946,6 +946,11 @@ BUILTIN_OBJECTS = OBJECTS + [
     "2025-02-01T00:00:00Z",
     "2025-02-01T00:00:00+05:30",
     "2025-02-01T00:00:00",
+    "2025-02-01T24:00:00Z",       # XSD end-of-day lexical: valid
+    "-2025-02-01T00:00:00Z",      # negative year: valid XSD
+    "2025-02-01T00:00:00+19:00",  # offset beyond ±18:00: invalid
+    "2024-13-45T99:99:99",        # shaped but semantically invalid
+    "2024-01-01",                 # xsd:date, not dateTime
     "<< http://x/s1 http://x/p1 o >>",
     "",
 ]
@@ -966,21 +971,36 @@ def _n_tz(v):
     # TZ is defined only for valid xsd:dateTime lexicals (17.4.5.8):
     # anything else → error → unbound; zone-less dateTime → "".
     # INDEPENDENT of the engine's implementation (review finding: a
-    # shared regex made the shape gate circular): strict shape check
-    # (rejects dates and space-separated forms fromisoformat accepts)
-    # plus fromisoformat value validity (rejects month-13 lexicals the
-    # shape alone accepts).
-    if v is None or not _re.match(
-        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
-        v,
-    ):
+    # shared regex made the shape gate circular) but aligned with its
+    # semantics (third pass: negative/5-digit years are valid XSD and
+    # engine-accepted; JVM parsing rejects zone offsets beyond ±18:00
+    # that fromisoformat accepts; T24:00:00[.0...] is XSD end-of-day).
+    # Month/day/time validity is probed with a leap-year stand-in, so
+    # the vocabulary must not lean on Feb-29-of-a-non-leap-year edges.
+    if v is None:
         return None
+    m = _re.match(
+        r"^(-?\d{4,})-(\d{2}-\d{2})T(\d{2}:\d{2}:\d{2})(\.\d+)?"
+        r"(Z|[+-]\d{2}:\d{2})?$",
+        v,
+    )
+    if not m:
+        return None
+    _year, date_part, time_part, frac, zone = m.groups()
+    if zone and zone != "Z":
+        hh, mm = int(zone[1:3]), int(zone[4:6])
+        if hh > 18 or (hh == 18 and mm > 0) or mm > 59:
+            return None
+    frac = frac or ""
+    if time_part == "24:00:00":
+        if frac and set(frac[1:]) != {"0"}:
+            return None
+        time_part, frac = "00:00:00", ""
     try:
-        datetime.fromisoformat(v.replace("Z", "+00:00"))
+        datetime.fromisoformat(f"2000-{date_part}T{time_part}{frac}")
     except ValueError:
         return None
-    m = _re.search(r"(Z|[+-]\d{2}:\d{2})$", v)
-    return m.group(1) if m else ""
+    return zone or ""
 
 
 def _n_istriple(v):
