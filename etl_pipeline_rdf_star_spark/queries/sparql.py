@@ -266,7 +266,7 @@ _KEYWORDS = {
     "sha384", "sha512",
     "ceil", "sameterm", "iri", "uri", "tz", "uuid", "struuid", "rand",
     "istriple", "triple", "subject", "predicate", "object",
-    "langmatches",
+    "langmatches", "strdt", "strlang",
 }
 
 # aggregate function keywords (SELECT clause + HAVING expressions)
@@ -287,7 +287,7 @@ _FN_KEYWORDS = {
     # serialized quoted-term representation "<< s p o >>"
     # (dataset_from_quads keeps non-reifies quoted objects in that form)
     "istriple", "triple", "subject", "predicate", "object",
-    "langmatches",
+    "langmatches", "strdt", "strlang",
 }
 _PUNCT2 = ("<<", ">>", "<=", ">=", "!=", "&&", "||")
 
@@ -1461,6 +1461,35 @@ class _Planner:
             return df.where(F.lit(False))  # dataset has no named graphs
         return df.where(F.col("graph").isin(scope))
 
+    def _bind_constructed_meta(
+        self, df: DataFrame, var: str, expr: Expr
+    ) -> DataFrame:
+        """STRDT/STRLANG construct a TYPED/TAGGED literal: the value
+        column stays the lexical form (the engine's value model), and
+        the declared datatype / language tag rides along as a metadata
+        marker so DATATYPE()/LANG() on the BIND var round-trip."""
+        if expr.op != "call":
+            return df
+        fn, args = expr.args
+        if fn not in ("strdt", "strlang") or len(args) != 2:
+            return df
+        t = args[1]
+        if t.op != "term" or t.args[0].kind not in ("iri", "literal"):
+            return df
+        tag = "dt" if fn == "strdt" else "lang"
+        # null value → no term constructed → metadata must stay unbound
+        meta_col = F.when(
+            F.col(var).isNotNull(), F.lit(str(t.args[0].value))
+        )
+        df = df.withColumn(_fresh(f"{tag}_{var}"), meta_col)
+        if fn == "strlang":
+            # a language-tagged literal's datatype is rdf:langString
+            df = df.withColumn(
+                _fresh(f"dt_{var}"),
+                F.when(F.col(var).isNotNull(), F.lit(_RDF_LANGSTRING)),
+            )
+        return df
+
     # one triple pattern → DF with one column per variable
     def _pattern_df(self, tp: TriplePattern) -> DataFrame:
         if tp.s.kind == "quoted":
@@ -1858,6 +1887,7 @@ class _Planner:
                     df = df.withColumn(p.var, self._expr_col(expr, df))
                     if marks:
                         df = df.drop(*marks)
+                    df = self._bind_constructed_meta(df, p.var, expr)
                 if not certain:  # a computed expression may evaluate null
                     maybe.add(p.var)
             elif isinstance(p, MinusOp):
@@ -2324,6 +2354,13 @@ class _Planner:
                         F.lit(_XSD_STRING),
                     )
                 )
+            if fn in ("strdt", "strlang"):
+                # the constructed literal's VALUE is its lexical form;
+                # the declared datatype/tag becomes a metadata marker at
+                # the BIND site (_bind_constructed_meta) — in any other
+                # expression position only the lexical participates
+                # (consistent with the engine's lexical value model)
+                return cols[0].cast("string")
             if fn == "langmatches":
                 # RFC 4647 basic filtering (17.4.3.1): '*' matches any
                 # non-empty tag; otherwise case-insensitive exact match

@@ -2106,3 +2106,28 @@ def test_tz_end_of_day_and_negative_year(dataset):
             BIND(TZ("-2025-02-01T00:00:00+05:00") AS ?c)
         }"""), "a", "b", "c")
     assert rows_ == [("Z", None, "+05:00")]
+
+
+def test_strdt_strlang_roundtrip_through_metadata(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?v ?dt ?l ?ldt WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(STRDT("3.14", <http://www.w3.org/2001/XMLSchema#decimal>)
+                 AS ?v)
+            BIND(DATATYPE(?v) AS ?dt)
+            BIND(STRLANG("chat", "fr") AS ?w)
+            BIND(LANG(?w) AS ?l)
+            BIND(DATATYPE(?w) AS ?ldt)
+        }"""), "v", "dt", "l", "ldt")
+    assert rows_ == [("3.14", XSD + "decimal", "fr", RDF_LANGSTRING)]
+
+
+def test_strdt_of_unbound_stays_unbound(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?dt WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            OPTIONAL { ex:dataset/DS1 ex:missing ?m }
+            BIND(STRDT(?m, <http://www.w3.org/2001/XMLSchema#int>) AS ?v)
+            BIND(DATATYPE(?v) AS ?dt)
+        }"""), "dt")
+    assert rows_ == [(None,)]
