@@ -1882,6 +1882,7 @@ class _Planner:
                     df = self.ds.triples.sparkSession.range(1).select(
                         self._expr_col(p.expr, None).cast("string").alias(p.var)
                     )
+                    df = self._bind_constructed_meta(df, p.var, p.expr)
                 else:
                     expr, df, marks = self._lower_exists(p.expr, df, maybe)
                     df = df.withColumn(p.var, self._expr_col(expr, df))

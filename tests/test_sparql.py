@@ -2131,3 +2131,13 @@ def test_strdt_of_unbound_stays_unbound(dataset):
             BIND(DATATYPE(?v) AS ?dt)
         }"""), "dt")
     assert rows_ == [(None,)]
+
+
+def test_leading_strdt_bind_keeps_metadata(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?dt WHERE {
+            BIND(STRDT("5", <http://www.w3.org/2001/XMLSchema#int>) AS ?v)
+            ex:dataset/DS1 dct:title ?t .
+            BIND(DATATYPE(?v) AS ?dt)
+        }"""), "dt")
+    assert rows_ == [(XSD + "int",)]
