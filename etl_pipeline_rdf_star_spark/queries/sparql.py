@@ -1226,6 +1226,29 @@ def _meta_marker_re(var: str | None = None, tag: str | None = None):
     return re.compile(rf"^_{t}_{v}#\d+$")
 
 
+def _meta_col(df, var: str | None, tag: str):
+    """Coalesce of a var's ``tag`` metadata marker columns in ``df``
+    (null Column when the var is unknown or carries no markers)."""
+    if var is None or df is None:
+        return F.lit(None).cast("string")
+    pat = _meta_marker_re(var=var, tag=tag)
+    cs = [c for c in df.columns if pat.match(c)]
+    if not cs:
+        return F.lit(None).cast("string")
+    return F.coalesce(*(F.col(c) for c in cs))
+
+
+def _expr_var_name(e: "Expr") -> str | None:
+    """The variable name when the expression is a bare var term."""
+    if (
+        isinstance(e, Expr)
+        and e.op == "term"
+        and e.args[0].kind == "var"
+    ):
+        return e.args[0].value
+    return None
+
+
 def _path_nullable(p: Path) -> bool:
     """Can the path match the zero-length (empty) route? NB ``plus`` is
     nullable when its CHILD is — one ALP iteration of a nullable child
@@ -1369,7 +1392,18 @@ def _meta_vars_of(q: SelectQuery) -> set[str]:
             return
         if e.op == "call":
             fn, args = e.args
-            if fn in ("datatype", "lang") and args:
+            if (
+                fn
+                in (
+                    "datatype",
+                    "lang",
+                    "isiri",
+                    "isuri",
+                    "isliteral",
+                    "isblank",
+                )
+                and args
+            ):
                 a = args[0]
                 if (
                     isinstance(a, Expr)
@@ -1474,7 +1508,18 @@ class _Planner:
         if fn not in ("strdt", "strlang") or len(args) != 2:
             return df
         t = args[1]
-        if t.op != "term" or t.args[0].kind not in ("iri", "literal"):
+        # kind/arity violations already resolved at value-compile time
+        # (loud for non-constants, unbound for wrong kinds) — attach
+        # metadata only for the valid shapes
+        if t.op != "term":
+            return df
+        kind = t.args[0].kind
+        ok = (
+            kind == "iri"
+            if fn == "strdt"
+            else kind == "literal" and str(t.args[0].value) != ""
+        )
+        if not ok:
             return df
         tag = "dt" if fn == "strdt" else "lang"
         # null value → no term constructed → metadata must stay unbound
@@ -2188,19 +2233,41 @@ class _Planner:
                 }[fn]
                 return getter(ts)
             if fn in ("isiri", "isuri", "isliteral", "isblank"):
-                # the serving relations carry lexical strings; term kind
-                # is sniffed the same way CONSTRUCT's okind_col does
-                # (shared _IRI_RE so the sniffs cannot drift)
+                # term-kind classification with the SAME precedence as
+                # DATATYPE()/LANG() (review finding: the pure shape
+                # sniff called an STRDT-constructed IRI-shaped literal
+                # an IRI while DATATYPE on the same var said literal):
+                # stored object_kind marker > stored datatype/lang
+                # markers (⇒ literal) > lexical-shape sniff (shared
+                # _IRI_RE so the sniffs cannot drift from CONSTRUCT's)
                 from ..serving import _IRI_RE
 
+                var = _expr_var_name(args[0]) if args else None
+                kindv = _meta_col(df, var, "kind")
+                has_lit_meta = (
+                    _meta_col(df, var, "dt").isNotNull()
+                    | _meta_col(df, var, "lang").isNotNull()
+                )
                 s = cols[0].cast("string")
-                is_bnode = s.startswith("_:")
-                is_iri = s.rlike(_IRI_RE.pattern) & ~is_bnode
+                sniff_bnode = s.startswith("_:")
+                sniff_iri = s.rlike(_IRI_RE.pattern) & ~sniff_bnode
+                kind = F.coalesce(
+                    kindv,
+                    F.when(has_lit_meta, F.lit("literal")),
+                    F.when(sniff_bnode, F.lit("blank")),
+                    F.when(sniff_iri, F.lit("iri")),
+                    F.lit("literal"),
+                )
+                null_in = s.isNull()
                 if fn == "isblank":
-                    return is_bnode
-                if fn in ("isiri", "isuri"):
-                    return is_iri
-                return ~is_iri & ~is_bnode
+                    res = kind == "blank"
+                elif fn in ("isiri", "isuri"):
+                    res = kind == "iri"
+                else:
+                    res = kind == "literal"
+                return F.when(
+                    null_in, F.lit(None).cast("boolean")
+                ).otherwise(res)
             if fn == "isnumeric":
                 return cols[0].cast("string").rlike(_NUM_RE.pattern)
             if fn == "encode_for_uri":
@@ -2306,23 +2373,10 @@ class _Planner:
                 # metadata the value-shape fallback applies: IRIs/bnodes
                 # error→unbound, tagged literals rdf:langString, all
                 # other literals xsd:string / "".
-                a = args[0]
-                var = (
-                    a.args[0].value
-                    if isinstance(a, Expr)
-                    and a.op == "term"
-                    and a.args[0].kind == "var"
-                    else None
-                )
+                var = _expr_var_name(args[0])
 
                 def meta(tag: str) -> Column:
-                    if var is None or df is None:
-                        return F.lit(None).cast("string")
-                    pat = _meta_marker_re(var=var, tag=tag)
-                    cs = [c for c in df.columns if pat.match(c)]
-                    if not cs:
-                        return F.lit(None).cast("string")
-                    return F.coalesce(*(F.col(c) for c in cs))
+                    return _meta_col(df, var, tag)
 
                 from ..serving import _IRI_RE
 
@@ -2360,7 +2414,31 @@ class _Planner:
                 # the declared datatype/tag becomes a metadata marker at
                 # the BIND site (_bind_constructed_meta) — in any other
                 # expression position only the lexical participates
-                # (consistent with the engine's lexical value model)
+                # (consistent with the engine's lexical value model).
+                # The datatype/tag must be a CONSTANT of the right kind:
+                # a var/computed arg would silently drop the metadata
+                # (review finding → loud), and 17.4.2.8/.9 make a
+                # literal datatype / IRI-or-empty tag a type error →
+                # unbound (review finding: the value bound with
+                # nonsense metadata)
+                if len(args) != 2:
+                    raise SparqlUnsupported(f"{fn}() takes two arguments")
+                t = args[1]
+                if t.op != "term" or t.args[0].kind not in (
+                    "iri",
+                    "literal",
+                ):
+                    raise SparqlUnsupported(
+                        f"{fn}() needs a constant datatype/tag argument"
+                    )
+                kind = t.args[0].kind
+                valid = (
+                    kind == "iri"
+                    if fn == "strdt"
+                    else kind == "literal" and str(t.args[0].value) != ""
+                )
+                if not valid:
+                    return F.lit(None).cast("string")
                 return cols[0].cast("string")
             if fn == "langmatches":
                 # RFC 4647 basic filtering (17.4.3.1): '*' matches any

@@ -2141,3 +2141,48 @@ def test_leading_strdt_bind_keeps_metadata(dataset):
             BIND(DATATYPE(?v) AS ?dt)
         }"""), "dt")
     assert rows_ == [(XSD + "int",)]
+
+
+def test_strdt_strlang_wrong_kind_is_unbound(dataset):
+    # 17.4.2.8/.9: STRDT needs an IRI datatype, STRLANG a non-empty
+    # simple-literal tag — wrong kinds are type errors -> unbound
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?a ?b ?c WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(STRDT("5", "not-an-iri") AS ?a)
+            BIND(STRLANG("chat", <http://not-a-tag>) AS ?b)
+            BIND(STRLANG("chat", "") AS ?c)
+        }"""), "a", "b", "c")
+    assert rows_ == [(None, None, None)]
+
+
+def test_strdt_with_variable_datatype_is_loud(dataset):
+    with pytest.raises(SparqlUnsupported):
+        sparql_df(dataset, PROLOGUE + """
+            SELECT ?v WHERE {
+                ex:dataset/DS1 dct:title ?t .
+                BIND(STRDT("5", ?t) AS ?v)
+            }""")
+
+
+def test_is_functions_consult_metadata(meta_dataset):
+    # anyURI-shaped literal: isLITERAL true / isIRI false (stored kind);
+    # mailto: IRI: isIRI true despite the sniff not knowing the scheme
+    rows_ = rows(sparql_df(meta_dataset, PROLOGUE + """
+        SELECT ?p ?lit ?iri WHERE {
+            ex:d3 ?p ?o .
+            BIND(isLITERAL(?o) AS ?lit) BIND(isIRI(?o) AS ?iri)
+        } ORDER BY ?p"""), "p", "lit", "iri")
+    assert rows_ == [
+        (EX + "homepage", True, False),
+        (EX + "mbox", False, True),
+    ]
+    # STRDT-constructed IRI-shaped literal classifies as literal
+    rows_ = rows(sparql_df(meta_dataset, PROLOGUE + """
+        SELECT ?lit WHERE {
+            ex:d1 ex:name ?n .
+            BIND(STRDT("http://x/", <http://www.w3.org/2001/XMLSchema#anyURI>)
+                 AS ?v)
+            BIND(isLITERAL(?v) AS ?lit)
+        }"""), "lit")
+    assert rows_ == [(True,)]
