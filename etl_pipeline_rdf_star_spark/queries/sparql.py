@@ -64,6 +64,17 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _RDF_REIFIES = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
 _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+# the XSD numeric type hierarchy (isNUMERIC consults a typed literal's
+# stored datatype against this set, 17.4.2.4)
+_XSD_NUMERIC_TYPES = tuple(
+    "http://www.w3.org/2001/XMLSchema#" + n
+    for n in (
+        "decimal", "integer", "double", "float", "byte", "short", "int",
+        "long", "nonPositiveInteger", "negativeInteger",
+        "nonNegativeInteger", "positiveInteger", "unsignedByte",
+        "unsignedShort", "unsignedInt", "unsignedLong",
+    )
+)
 # xsd:dateTime lexical shape (date 'T' time, optional fraction/zone) —
 # what TZ() accepts; shared with the property-suite naive model
 _DATETIME_LEX_RE = r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$"
@@ -1249,6 +1260,42 @@ def _expr_var_name(e: "Expr") -> str | None:
     return None
 
 
+def _term_kind_col(df, var: str | None, s: Column) -> Column:
+    """Term-kind classification shared by DATATYPE()/LANG() and the
+    is* builtins (one precedence, one implementation — review finding:
+    two encodings drifted): stored object_kind marker > stored
+    datatype/lang markers (⇒ literal) > serialized-triple-term shape >
+    bnode shape > IRI shape > literal. Null input stays null."""
+    from ..serving import _IRI_RE
+
+    kindv = _meta_col(df, var, "kind")
+    has_lit_meta = (
+        _meta_col(df, var, "dt").isNotNull()
+        | _meta_col(df, var, "lang").isNotNull()
+    )
+    return F.when(s.isNull(), F.lit(None).cast("string")).otherwise(
+        F.coalesce(
+            kindv,
+            F.when(has_lit_meta, F.lit("literal")),
+            F.when(s.rlike(_TRIPLE_TERM_RE), F.lit("triple")),
+            F.when(s.startswith("_:"), F.lit("blank")),
+            F.when(s.rlike(_IRI_RE.pattern), F.lit("iri")),
+            F.lit("literal"),
+        )
+    )
+
+
+def _strdt_meta_ok(fn: str, t: Term) -> bool:
+    """Is this CONSTANT term a valid datatype/tag for STRDT/STRLANG?
+    (One predicate for the value-compile and metadata-attach sites —
+    review finding: two copies could disagree, unbinding the value
+    while still attaching metadata.)"""
+    kind = t.kind
+    if fn == "strdt":
+        return kind == "iri"
+    return kind == "literal" and str(t.value) != ""
+
+
 def _path_nullable(p: Path) -> bool:
     """Can the path match the zero-length (empty) route? NB ``plus`` is
     nullable when its CHILD is — one ALP iteration of a nullable child
@@ -1401,6 +1448,7 @@ def _meta_vars_of(q: SelectQuery) -> set[str]:
                     "isuri",
                     "isliteral",
                     "isblank",
+                    "isnumeric",
                 )
                 and args
             ):
@@ -1510,16 +1558,9 @@ class _Planner:
         t = args[1]
         # kind/arity violations already resolved at value-compile time
         # (loud for non-constants, unbound for wrong kinds) — attach
-        # metadata only for the valid shapes
-        if t.op != "term":
-            return df
-        kind = t.args[0].kind
-        ok = (
-            kind == "iri"
-            if fn == "strdt"
-            else kind == "literal" and str(t.args[0].value) != ""
-        )
-        if not ok:
+        # metadata only for the valid shapes (same predicate as the
+        # value compile, so the two sites cannot disagree)
+        if t.op != "term" or not _strdt_meta_ok(fn, t.args[0]):
             return df
         tag = "dt" if fn == "strdt" else "lang"
         # null value → no term constructed → metadata must stay unbound
@@ -2233,43 +2274,33 @@ class _Planner:
                 }[fn]
                 return getter(ts)
             if fn in ("isiri", "isuri", "isliteral", "isblank"):
-                # term-kind classification with the SAME precedence as
-                # DATATYPE()/LANG() (review finding: the pure shape
-                # sniff called an STRDT-constructed IRI-shaped literal
-                # an IRI while DATATYPE on the same var said literal):
-                # stored object_kind marker > stored datatype/lang
-                # markers (⇒ literal) > lexical-shape sniff (shared
-                # _IRI_RE so the sniffs cannot drift from CONSTRUCT's)
-                from ..serving import _IRI_RE
-
+                # shared _term_kind_col precedence (review findings: a
+                # pure shape sniff disagreed with DATATYPE on
+                # STRDT-constructed literals, and the literal fallback
+                # called a serialized triple term a literal — a triple
+                # term is none of iri/literal/blank)
                 var = _expr_var_name(args[0]) if args else None
-                kindv = _meta_col(df, var, "kind")
-                has_lit_meta = (
-                    _meta_col(df, var, "dt").isNotNull()
-                    | _meta_col(df, var, "lang").isNotNull()
-                )
                 s = cols[0].cast("string")
-                sniff_bnode = s.startswith("_:")
-                sniff_iri = s.rlike(_IRI_RE.pattern) & ~sniff_bnode
-                kind = F.coalesce(
-                    kindv,
-                    F.when(has_lit_meta, F.lit("literal")),
-                    F.when(sniff_bnode, F.lit("blank")),
-                    F.when(sniff_iri, F.lit("iri")),
-                    F.lit("literal"),
-                )
-                null_in = s.isNull()
-                if fn == "isblank":
-                    res = kind == "blank"
-                elif fn in ("isiri", "isuri"):
-                    res = kind == "iri"
-                else:
-                    res = kind == "literal"
+                kind = _term_kind_col(df, var, s)
+                want = {
+                    "isblank": "blank",
+                    "isiri": "iri",
+                    "isuri": "iri",
+                }.get(fn, "literal")
                 return F.when(
-                    null_in, F.lit(None).cast("boolean")
-                ).otherwise(res)
+                    s.isNull(), F.lit(None).cast("boolean")
+                ).otherwise(kind == want)
             if fn == "isnumeric":
-                return cols[0].cast("string").rlike(_NUM_RE.pattern)
+                # 17.4.2.4: "has a NUMERIC DATATYPE" — a typed literal
+                # consults its stored datatype (review finding:
+                # "42"^^xsd:string sniffed as numeric); untyped values
+                # keep the lexical sniff
+                var = _expr_var_name(args[0]) if args else None
+                s = cols[0].cast("string")
+                dtv = _meta_col(df, var, "dt")
+                return F.when(
+                    dtv.isNotNull(), dtv.isin(*_XSD_NUMERIC_TYPES)
+                ).otherwise(s.rlike(_NUM_RE.pattern))
             if fn == "encode_for_uri":
                 # url_encode is Java form-encoding; XPath fn:encode-for-uri
                 # differs on three characters: space → %20 (not '+'),
@@ -2374,28 +2405,16 @@ class _Planner:
                 # error→unbound, tagged literals rdf:langString, all
                 # other literals xsd:string / "".
                 var = _expr_var_name(args[0])
-
-                def meta(tag: str) -> Column:
-                    return _meta_col(df, var, tag)
-
-                from ..serving import _IRI_RE
-
                 s = cols[0].cast("string")
-                is_bnode = s.startswith("_:")
-                is_iri = s.rlike(_IRI_RE.pattern) & ~is_bnode
-                langv, dtv, kindv = meta("lang"), meta("dt"), meta("kind")
-                # term-kind classification precedence: the stored
-                # object_kind column is exact; stored datatype/lang mark
-                # a literal even when its lexical form LOOKS like an IRI
-                # (xsd:anyURI values); the shape sniff is the last
-                # resort on metadata-less relations (review finding:
-                # sniff-first returned unbound for https-shaped literals
-                # with a stored datatype)
-                shape_nonlit = is_iri | is_bnode
-                non_literal = s.isNull() | F.coalesce(
-                    F.when(kindv.isNotNull(), kindv != "literal"),
-                    F.when(dtv.isNotNull() | langv.isNotNull(), F.lit(False)),
-                    shape_nonlit,
+                langv, dtv = _meta_col(df, var, "lang"), _meta_col(
+                    df, var, "dt"
+                )
+                # shared classification (kind marker > stored
+                # datatype/lang > triple-term/bnode/IRI shape >
+                # literal); LANG/DATATYPE are defined on literals only —
+                # everything else (incl. a null input) → unbound
+                non_literal = s.isNull() | (
+                    _term_kind_col(df, var, s) != "literal"
                 )
                 unbound = F.lit(None).cast("string")
                 if fn == "lang":
@@ -2424,20 +2443,16 @@ class _Planner:
                 if len(args) != 2:
                     raise SparqlUnsupported(f"{fn}() takes two arguments")
                 t = args[1]
-                if t.op != "term" or t.args[0].kind not in (
-                    "iri",
-                    "literal",
-                ):
+                if t.op != "term" or t.args[0].kind == "var":
+                    # a var/computed datatype or tag would silently
+                    # drop the metadata — reject loudly; any CONSTANT
+                    # of the wrong kind is a type error → unbound
+                    # (review finding: a constant number hit the loud
+                    # path with a misleading message)
                     raise SparqlUnsupported(
                         f"{fn}() needs a constant datatype/tag argument"
                     )
-                kind = t.args[0].kind
-                valid = (
-                    kind == "iri"
-                    if fn == "strdt"
-                    else kind == "literal" and str(t.args[0].value) != ""
-                )
-                if not valid:
+                if not _strdt_meta_ok(fn, t.args[0]):
                     return F.lit(None).cast("string")
                 return cols[0].cast("string")
             if fn == "langmatches":
@@ -2894,7 +2909,17 @@ def _select_frame(
                         F.coalesce(*(F.col(c) for c in cs)),
                     ).drop(*cs)
     if q.distinct:
-        df = df.distinct()
+        if kept_meta:
+            # kind markers are NOT part of term identity (kind is
+            # derivable from the term itself), and a branch over a
+            # kind-less relation null-pads them — deduping over them
+            # kept duplicate solutions (review finding). Datatype/lang
+            # markers DO distinguish terms and stay in the key.
+            kind_re = _meta_marker_re(tag="kind")
+            key = [c for c in df.columns if not kind_re.match(c)]
+            df = df.dropDuplicates(key) if key else df.distinct()
+        else:
+            df = df.distinct()
     if q.order_by:
         keys = []
         for item, desc in q.order_by:

@@ -2186,3 +2186,76 @@ def test_is_functions_consult_metadata(meta_dataset):
             BIND(isLITERAL(?v) AS ?lit)
         }"""), "lit")
     assert rows_ == [(True,)]
+
+
+def test_subquery_distinct_ignores_kind_markers(spark):
+    # one branch's relation stores object_kind, the other's does not:
+    # the same IRI must still dedupe under subquery DISTINCT when the
+    # outer query inspects the var with isIRI (kind markers are not
+    # part of term identity)
+    triples = spark.createDataFrame(
+        [("http://m/s1", "http://m/link", "http://m/d2", None, None, None,
+          "iri")],
+        "subject string, predicate string, object string, graph string,"
+        " object_datatype string, object_lang string, object_kind string",
+    )
+    anns = spark.createDataFrame(
+        [("http://m/a", "http://m/b", "http://m/c", "http://m/link",
+          "http://m/d2")],
+        "q_s string, q_p string, q_o string, predicate string,"
+        " object string",
+    )
+    ds = SparqlDataset(triples=triples, annotations=anns)
+    rows_ = rows(sparql_df(ds, """
+        SELECT ?iri WHERE {
+            { SELECT DISTINCT ?o WHERE {
+                { ?s <http://m/link> ?o }
+                UNION
+                { << ?a ?b ?c >> <http://m/link> ?o }
+            } }
+            BIND(isIRI(?o) AS ?iri)
+        }"""), "iri")
+    assert rows_ == [(True,)]
+
+
+def test_is_functions_on_triple_terms(dataset):
+    # a triple term is none of IRI/literal/blank (SPARQL-star)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?lit ?iri ?tr WHERE {
+            ex:dataset/DS2 dcat:theme ?th .
+            BIND(TRIPLE(ex:dataset/DS2, dcat:theme, ?th) AS ?t)
+            BIND(isLITERAL(?t) AS ?lit) BIND(isIRI(?t) AS ?iri)
+            BIND(isTRIPLE(?t) AS ?tr)
+        }"""), "lit", "iri", "tr")
+    assert rows_ == [(False, False, True)]
+
+
+def test_strdt_constant_wrong_kind_is_unbound_not_loud(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?v WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(STRDT("5", 42) AS ?v)
+        }"""), "v")
+    assert rows_ == [(None,)]
+
+
+def test_isnumeric_consults_stored_datatype(meta_dataset, spark):
+    # typed literal: datatype decides; untyped: lexical sniff
+    t2 = spark.createDataFrame(
+        [("http://m/x", "http://m/tag", "42", None, XSD + "string", None,
+          "literal"),
+         ("http://m/x", "http://m/n", "42", None, None, None, "literal")],
+        "subject string, predicate string, object string, graph string,"
+        " object_datatype string, object_lang string, object_kind string",
+    )
+    rows_ = rows(sparql_df(SparqlDataset(triples=t2), """
+        SELECT ?p ?num WHERE {
+            ?s ?p ?o . BIND(isNUMERIC(?o) AS ?num)
+        } ORDER BY ?p"""), "p", "num")
+    assert rows_ == [("http://m/n", True), ("http://m/tag", False)]
+    rows_ = rows(sparql_df(meta_dataset, """
+        PREFIX ex: <http://example.org/>
+        SELECT ?num WHERE {
+            ex:d1 ex:val ?o . BIND(isNUMERIC(?o) AS ?num)
+        }"""), "num")
+    assert rows_ == [(True,)]  # xsd:decimal
