@@ -405,17 +405,23 @@ class QueryServer:
         if "table_version" in lv.columns:
             order.insert(0, F.col("table_version").desc())
         rows = lv.orderBy(*order).limit(self.max_limit).collect()
-        batches = [
-            {
-                "batch": f"http://example.org/batch/{r['batch_id']}",
-                "batchNumber": r["batch_id"],
-                "status": r["status"],
-                "events": r["events"],
-                "upserts": r["upserts"],
-                "deletes": r["deletes"],
-            }
-            for r in rows
-        ]
+        # a pre-lifecycle ledger (old table) has no status/counter
+        # columns; Row.__getitem__ raises ValueError on a missing key,
+        # which the handler would surface as a misleading HTTP 400
+        # (advisor finding) — .asDict().get() degrades to nulls instead
+        batches = []
+        for r in rows:
+            d = r.asDict()
+            batches.append(
+                {
+                    "batch": f"http://example.org/batch/{d['batch_id']}",
+                    "batchNumber": d["batch_id"],
+                    "status": d.get("status"),
+                    "events": d.get("events"),
+                    "upserts": d.get("upserts"),
+                    "deletes": d.get("deletes"),
+                }
+            )
         return {"count": len(batches), "batches": batches}
 
     def graphs_doc(self) -> dict[str, Any]:

@@ -1913,12 +1913,17 @@ WHERE round((length(content) % 100) / 100.0, 2) <= 0.5""",
     "sparql_describe_de_files": QueryEntry(
         q_sparql_describe_de_files,
         f"""
-WITH asserted AS (SELECT subject, predicate, object FROM ({_ASSERTED_SQL}) a),
+WITH asserted AS (SELECT subject, predicate, object, object_datatype
+                  FROM ({_ASSERTED_SQL}) a),
 nodes AS (SELECT DISTINCT subject FROM asserted
           WHERE predicate = 'http://example.org/lang' AND object = 'de')
 SELECT DISTINCT a.subject, a.predicate, a.object,
-       CASE WHEN regexp_matches(a.object, '^(https?|urn|file|ftp):')
-            THEN 'iri' ELSE 'literal' END AS object_kind
+       CASE WHEN a.predicate IN
+              ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+               'http://example.org/repo')
+            THEN 'iri' ELSE 'literal' END AS object_kind,
+       a.object_datatype,
+       CAST(NULL AS VARCHAR) AS object_lang
 FROM asserted a JOIN nodes n ON a.subject = n.subject""",
     ),
     "sparql_construct_repo_links": QueryEntry(

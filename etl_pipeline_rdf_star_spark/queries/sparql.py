@@ -1285,6 +1285,22 @@ def _term_kind_col(df, var: str | None, s: Column) -> Column:
     )
 
 
+def _expr_kind_col(df, e: "Expr", c: Column) -> Column:
+    """Term-kind of a compiled expression column. A CONSTANT term knows
+    its kind from the parse (an IRI stays 'iri' even when its scheme is
+    outside the sniff set, e.g. mailto:); a bare var consults stored
+    metadata via _term_kind_col; a computed expression falls back to the
+    same classifier's shape sniff."""
+    if isinstance(e, Expr) and e.op == "term" and e.args[0].kind != "var":
+        k = e.args[0].kind
+        if k == "iri":
+            return F.lit("iri")
+        if k == "quoted":
+            return F.lit("triple")
+        return F.lit("literal")
+    return _term_kind_col(df, _expr_var_name(e), c)
+
+
 def _strdt_meta_ok(fn: str, t: Term) -> bool:
     """Is this CONSTANT term a valid datatype/tag for STRDT/STRLANG?
     (One predicate for the value-compile and metadata-attach sites —
@@ -1449,16 +1465,21 @@ def _meta_vars_of(q: SelectQuery) -> set[str]:
                     "isliteral",
                     "isblank",
                     "isnumeric",
+                    # sameTerm compares term identity (dt/lang/kind);
+                    # TRIPLE validates subject/predicate kinds — both
+                    # need every direct-var operand's stored metadata
+                    "sameterm",
+                    "triple",
                 )
                 and args
             ):
-                a = args[0]
-                if (
-                    isinstance(a, Expr)
-                    and a.op == "term"
-                    and a.args[0].kind == "var"
-                ):
-                    out.add(a.args[0].value)
+                for a in args:
+                    if (
+                        isinstance(a, Expr)
+                        and a.op == "term"
+                        and a.args[0].kind == "var"
+                    ):
+                        out.add(a.args[0].value)
             for a in args:
                 walk_expr(a)
             return
@@ -2320,15 +2341,54 @@ class _Planner:
             if fn == "ceil":
                 return F.ceil(cols[0].try_cast("double"))
             if fn == "sameterm":
-                # relations carry one lexical string per term, so exact
-                # term equality IS string equality — deliberately no
-                # numeric value-dispatch ("1" and "01" are different
-                # terms even though = would compare them equal)
-                return cols[0].cast("string") == cols[1].cast("string")
+                # exact TERM equality: lexical string equality AND (for
+                # direct vars carrying metadata markers) null-safe
+                # equality of datatype/lang plus the shared kind
+                # classification — STRDT("a", xsd:token) and plain "a"
+                # are different terms, as the DISTINCT machinery already
+                # treats them (advisor finding: two notions of term
+                # identity in one engine). Deliberately no numeric
+                # value-dispatch ("1" and "01" are different terms even
+                # though = would compare them equal). Marker-less
+                # operands coalesce to null<=>null = true → unchanged.
+                sa, sb = cols[0].cast("string"), cols[1].cast("string")
+                va, vb = _expr_var_name(args[0]), _expr_var_name(args[1])
+                same = (
+                    (sa == sb)
+                    & _meta_col(df, va, "dt").eqNullSafe(
+                        _meta_col(df, vb, "dt")
+                    )
+                    & _meta_col(df, va, "lang").eqNullSafe(
+                        _meta_col(df, vb, "lang")
+                    )
+                    & _expr_kind_col(df, args[0], sa).eqNullSafe(
+                        _expr_kind_col(df, args[1], sb)
+                    )
+                )
+                # an unbound operand is a type error → unbound, not
+                # false (the eqNullSafe legs would otherwise force a
+                # definite answer out of a null input)
+                return F.when(
+                    sa.isNull() | sb.isNull(),
+                    F.lit(None).cast("boolean"),
+                ).otherwise(same)
             if fn in ("iri", "uri"):
-                # terms are lexical strings here; IRI(str) is the minting
-                # identity (its main SPARQL use: IRI(CONCAT(...)))
-                return cols[0].cast("string")
+                # IRI(str) mints an IRI from a lexical (its main SPARQL
+                # use: IRI(CONCAT(...))). 17.4.2.8 makes an invalid
+                # argument a type error → unbound; the validity gate is
+                # the engine's own kind-classification shape (shared
+                # _IRI_RE scheme sniff) plus a no-whitespace guard so a
+                # minted term is always one the accessors/serializers
+                # can tokenize (advisor finding: the old identity bound
+                # malformed 'IRIs' that isIRI() then disagreed with).
+                # No BASE resolution: this front end has no BASE
+                # directive, so relative references are errors too.
+                from ..serving import _IRI_RE
+
+                s = cols[0].cast("string")
+                return F.when(
+                    s.rlike(_IRI_RE.pattern) & ~s.rlike(r"\s"), s
+                ).otherwise(F.lit(None).cast("string"))
             if fn == "tz":
                 # timezone suffix of the dateTime LEXICAL form: "" when
                 # the zone is absent, unbound when the operand is not an
@@ -2364,13 +2424,19 @@ class _Planner:
                 # dataset_from_quads' rendering of quoted objects exactly,
                 # so TRIPLE(?s,?p,?o) = ?t round-trips with isTRIPLE(?t).
                 # F.concat propagates an unbound arg to unbound (SPARQL
-                # error semantics); a subject/predicate carrying
-                # whitespace (a spaced literal or a nested serialized
-                # triple term) is not an IRI/bnode → also error→unbound,
-                # and minting it anyway would produce a term the
-                # whitespace-tokenizing accessors mis-parse
+                # error semantics). SPARQL 1.2 §17.4.2.12 requires an
+                # IRI/bnode subject and an IRI predicate — enforced via
+                # the shared _term_kind_col classification (stored kind
+                # marker > metadata > shape sniff), so a whitespace-free
+                # literal subject like "42" is error→unbound too
+                # (advisor finding: the old guard only rejected
+                # whitespace). The kind check subsumes the whitespace
+                # guard: IRIs/bnodes never carry whitespace, so minted
+                # terms stay tokenizable by the accessors.
                 s, p, o = (c.cast("string") for c in cols)
-                valid_sp = ~s.rlike(r"\s") & ~p.rlike(r"\s")
+                valid_sp = _expr_kind_col(df, args[0], s).isin(
+                    "iri", "blank"
+                ) & (_expr_kind_col(df, args[1], p) == "iri")
                 minted = F.concat(
                     F.lit("<< "), s, F.lit(" "), p, F.lit(" "), o,
                     F.lit(" >>"),
@@ -2741,11 +2807,37 @@ def _describe_df(planner: "_Planner", q: SelectQuery) -> DataFrame:
     )
     out = tri.join(nodes, tri["subject"] == nodes["node"], "left_semi")
     obj = F.col("object").cast("string")
+    # serve the STORED term metadata when the relation carries it — the
+    # IRI-shape sniff misfiles bnode objects (stored as bare b<sha>, kind
+    # 'blank') as quoted literals, promotes IRI-looking literals to 'iri',
+    # and loses datatype/lang; the reference pyoxigraph endpoint preserves
+    # all three (advisor finding — individual_details_doc was fixed the
+    # same way). The sniff remains only as the fallback for kind-less
+    # frames (e.g. an ad-hoc dataset built from bare lexical columns).
+    kind = (
+        F.coalesce(F.col("object_kind").cast("string"), _object_kind_col(obj))
+        if "object_kind" in tri.columns
+        else _object_kind_col(obj)
+    )
+    meta = [
+        (
+            F.col(c).cast("string")
+            if c in tri.columns
+            else F.lit(None).cast("string")
+        ).alias(c)
+        for c in ("object_datatype", "object_lang")
+    ]
+    subj_cols = [F.col("subject").cast("string").alias("subject")]
+    if "subject_kind" in tri.columns:
+        # quad datasets distinguish bnode subjects; keep the marker so
+        # sinks.rdf_text.subject_term renders them as _:b not <b>
+        subj_cols.append(F.col("subject_kind").cast("string").alias("subject_kind"))
     return out.select(
-        F.col("subject").cast("string").alias("subject"),
+        *subj_cols,
         F.col("predicate").cast("string").alias("predicate"),
         obj.alias("object"),
-        _object_kind_col(obj).alias("object_kind"),
+        kind.alias("object_kind"),
+        *meta,
     ).distinct()
 
 

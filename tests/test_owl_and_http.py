@@ -448,3 +448,20 @@ def test_explorer_node_panels(server):
 def test_explorer_missing_param_is_400(server):
     code, doc = _get(server, "/api/class/properties")
     assert code == 400 and "uri" in doc["detail"]
+
+
+def test_batches_doc_tolerates_pre_lifecycle_ledger(server, spark):
+    # an old table's raw ledger has no status/counter columns;
+    # Row.__getitem__ would raise ValueError → misleading HTTP 400
+    # (advisor finding) — the document degrades to nulls instead
+    import types
+
+    lv = spark.createDataFrame([("old-b0",)], "batch_id string")
+    srv2 = object.__new__(type(server))
+    srv2.engine = types.SimpleNamespace(ledger_view=lambda: lv)
+    srv2.max_limit = server.max_limit
+    doc = type(server).batches_doc(srv2)
+    assert doc["count"] == 1
+    b = doc["batches"][0]
+    assert b["batchNumber"] == "old-b0"
+    assert b["status"] is None and b["events"] is None

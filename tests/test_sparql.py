@@ -2259,3 +2259,119 @@ def test_isnumeric_consults_stored_datatype(meta_dataset, spark):
             ex:d1 ex:val ?o . BIND(isNUMERIC(?o) AS ?num)
         }"""), "num")
     assert rows_ == [(True,)]  # xsd:decimal
+
+
+# -- round-5 advisor findings: term identity / minting validity --------------
+
+
+def test_sameterm_distinguishes_constructed_datatype(dataset):
+    # STRDT("a", xsd:token) and plain "a" share a lexical but are
+    # different TERMS — sameTerm must agree with the DISTINCT machinery
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?plain ?same WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(STRDT("a", <http://www.w3.org/2001/XMLSchema#token>) AS ?a)
+            BIND(STRDT("a", <http://www.w3.org/2001/XMLSchema#token>) AS ?b)
+            BIND(IF(sameTerm(?a, "a"), "y", "n") AS ?plain)
+            BIND(IF(sameTerm(?a, ?b), "y", "n") AS ?same)
+        }"""), "plain", "same")
+    assert rows_ == [("n", "y")]
+
+
+def test_sameterm_distinguishes_lang_tagged_terms(dataset):
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?x WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(STRLANG("chat", "en") AS ?a)
+            BIND(IF(sameTerm(?a, "chat"), "y", "n") AS ?x)
+        }"""), "x")
+    assert rows_ == [("n",)]
+
+
+def test_sameterm_kind_aware(meta_dataset):
+    # an IRI var vs a literal constant with the same lexical: different
+    # terms; vs the same IRI constant: the same term (the stored 'iri'
+    # kind must meet the parse-time constant kind, not the scheme sniff)
+    rows_ = rows(sparql_df(meta_dataset, """
+        PREFIX ex: <http://example.org/>
+        SELECT ?lit ?iri ?mb WHERE {
+            ex:d1 ex:link ?l .
+            ex:d3 ex:mbox ?m .
+            BIND(IF(sameTerm(?l, "http://example.org/d2"), "y", "n") AS ?lit)
+            BIND(IF(sameTerm(?l, ex:d2), "y", "n") AS ?iri)
+            BIND(IF(sameTerm(?m, <mailto:d3@example.com>), "y", "n") AS ?mb)
+        }"""), "lit", "iri", "mb")
+    assert rows_ == [("n", "y", "y")]
+
+
+def test_triple_rejects_whitespace_free_literal_subject(dataset):
+    # SPARQL 1.2: a literal subject ("42") or literal predicate is a
+    # type error → unbound, even without whitespace
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?a ?b WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(TRIPLE("42", dct:title, "x") AS ?a)
+            BIND(TRIPLE(ex:dataset/DS1, "42", "x") AS ?b)
+        }"""), "a", "b")
+    assert rows_ == [(None, None)]
+
+
+def test_triple_accepts_stored_iri_var_subject(meta_dataset):
+    # a var subject whose stored kind is 'iri' (scheme outside the
+    # sniff set) still mints
+    rows_ = rows(sparql_df(meta_dataset, """
+        PREFIX ex: <http://example.org/>
+        SELECT ?t WHERE {
+            ex:d3 ex:mbox ?m .
+            BIND(TRIPLE(?m, ex:mbox, "x") AS ?t)
+        }"""), "t")
+    assert rows_ == [("<< mailto:d3@example.com http://example.org/mbox x >>",)]
+
+
+def test_iri_invalid_lexical_is_unbound(dataset):
+    # 17.4.2.8: IRI() of a non-IRI lexical is a type error → unbound
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?a ?b ?ok WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(IRI("not a uri") AS ?a)
+            BIND(IRI("relative/ref") AS ?b)
+            BIND(IRI("urn:x:1") AS ?ok)
+        }"""), "a", "b", "ok")
+    assert rows_ == [(None, None, "urn:x:1")]
+
+
+def test_describe_serves_stored_term_metadata(meta_dataset):
+    # DESCRIBE output carries the STORED kind/datatype/lang, not an
+    # IRI-shape re-sniff (advisor finding): an xsd:anyURI literal stays
+    # a typed literal, a mailto: IRI stays an IRI, @en survives
+    df = sparql_df(meta_dataset, "DESCRIBE <http://example.org/d3>")
+    by_pred = {r["predicate"]: r for r in df.collect()}
+    hp = by_pred["http://example.org/homepage"]
+    assert hp["object_kind"] == "literal"
+    assert hp["object_datatype"] == XSD + "anyURI"
+    mb = by_pred["http://example.org/mbox"]
+    assert mb["object_kind"] == "iri"
+    lbl = {
+        r["predicate"]: r
+        for r in sparql_df(
+            meta_dataset, "DESCRIBE <http://example.org/d1>"
+        ).collect()
+    }["http://example.org/label"]
+    assert lbl["object_lang"] == "en"
+    assert lbl["object_kind"] == "literal"
+
+
+def test_describe_renders_bnode_object_as_bnode(spark):
+    # bnode objects are stored as bare b<sha> with kind 'blank'; the
+    # old sniff rendered them as quoted literals in DESCRIBE documents
+    t = spark.createDataFrame(
+        [("http://m/s", "http://m/p", "b0deadbeef", None, None, None,
+          "blank")],
+        "subject string, predicate string, object string, graph string,"
+        " object_datatype string, object_lang string, object_kind string",
+    )
+    ds = SparqlDataset(triples=t)
+    df = sparql_df(ds, "DESCRIBE <http://m/s>")
+    assert df.collect()[0]["object_kind"] == "blank"
+    doc = execute_sparql(ds, "DESCRIBE <http://m/s>")
+    assert doc["triples"] == ["<http://m/s> <http://m/p> _:b0deadbeef"]
