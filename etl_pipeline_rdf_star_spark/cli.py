@@ -129,6 +129,10 @@ def cmd_export(args) -> None:
     * ``trig``     — TriG of the asserted triples plus TriG-star
       annotation statements (``<< s p o >> pred obj .``), mirroring the
       reference's TriG-star serializer (rdf_star_etl_yarrrml.py:611-648)
+    * ``turtle``   — Turtle(-star): trig restricted to the default graph
+      (reference extension dispatch, batch_cli.py:216-242 — ``.ttl``
+      drops graph blocks)
+    * ``ntriples`` — N-Triples: nquads without the graph term
     """
     from pyspark.sql import functions as _F
 
@@ -179,7 +183,13 @@ def cmd_export(args) -> None:
 
         triples = eng.triples_view(state_at())
         anns = eng.annotations_view(state_at())
-        if args.fmt == "nquads":
+        if args.fmt in ("nquads", "ntriples"):
+            # ntriples = nquads restricted to the default graph
+            # (reference extension dispatch, batch_manager.py:607-639:
+            # .nt drops the graph term)
+            gcols = ["graph"] if args.fmt == "nquads" else []
+            if args.fmt == "ntriples":
+                triples = triples.drop("graph")
             ann_quads = anns.select(
                 F.col("reifier").alias("subject"),
                 F.lit("blank").alias("subject_kind"),
@@ -188,10 +198,14 @@ def cmd_export(args) -> None:
                 "object_datatype",
                 "object_lang",
                 "object_kind",
-                "graph",
+                *gcols,
             )
             lines = nquads_lines(triples).unionByName(nquads_lines(ann_quads))
-        else:  # trig (+star)
+        else:  # trig / turtle (+star)
+            # turtle = trig restricted to the default graph: dropping
+            # the graph column makes every statement render bare
+            if args.fmt == "turtle":
+                triples = triples.drop("graph")
             lines = trig_lines(triples).unionByName(
                 trig_star_annotation_lines(anns)
             )
@@ -240,6 +254,7 @@ def cmd_load(args) -> None:
     fmt = args.fmt
     if fmt == "auto":
         probe = args.infile
+        probes = [probe]
         if _os.path.isdir(probe):  # directory input: sniff contained files
             # skip Spark sidecars (_SUCCESS, ._*.crc): sorting put them
             # first and misclassified the engine's own N-Quads export
@@ -249,7 +264,12 @@ def cmd_load(args) -> None:
                 for n in _os.listdir(probe)
                 if not n.startswith(("_", "."))
             )
-            probe = _os.path.join(probe, names[0]) if names else probe
+            # sniff SEVERAL part files, not just the first: a turtle(-star)
+            # export shards plain statements and `<< ... >>` annotation
+            # statements into different part files, and only the latter
+            # carry a turtle-only marker
+            probes = [_os.path.join(probe, n) for n in names[:64]]
+            probe = probes[0] if probes else probe
         low = probe.lower()
         if low.endswith((".nq", ".nt")):
             fmt = "nquads"
@@ -260,26 +280,38 @@ def cmd_load(args) -> None:
             # line — prefix directives / graph blocks / bnode syntax need
             # the Turtle reader, bare full-IRI statements are N-Quads
             fmt = "nquads"
-            try:
-                with open(probe, encoding="utf-8", errors="replace") as fh:
-                    for ln in fh:
-                        ln = ln.strip()
-                        if not ln or ln.startswith("#"):
-                            continue
-                        # graph blocks put '{' as a standalone token after
-                        # the graph term; substring-matching ' {' would
-                        # false-positive on N-Quads literals containing
-                        # braces (review finding)
-                        toks = ln.split(None, 2)
-                        if (
-                            ln.startswith(("@prefix", "@base", "PREFIX", "BASE"))
-                            or ln.startswith(("[", "(", "{"))
-                            or (len(toks) >= 2 and toks[1] == "{")
-                        ):
-                            fmt = "turtle"
-                        break
-            except OSError:
-                pass
+            import itertools as _it
+
+            for pf in probes:
+                try:
+                    with open(pf, encoding="utf-8", errors="replace") as fh:
+                        # scan a bounded prefix per file: a turtle(-star)
+                        # export's bare full-IRI statements are valid
+                        # N-Quads, but its `<< s p o >> ...` annotation
+                        # lines are not — and they may appear only after
+                        # hundreds of plain statements
+                        for ln in _it.islice(fh, 500):
+                            ln = ln.strip()
+                            if not ln or ln.startswith("#"):
+                                continue
+                            # graph blocks put '{' as a standalone token
+                            # after the graph term; substring-matching
+                            # ' {' would false-positive on N-Quads
+                            # literals containing braces (review finding)
+                            toks = ln.split(None, 2)
+                            if (
+                                ln.startswith(
+                                    ("@prefix", "@base", "PREFIX", "BASE")
+                                )
+                                or ln.startswith(("[", "(", "{", "<<"))
+                                or (len(toks) >= 2 and toks[1] == "{")
+                            ):
+                                fmt = "turtle"
+                                break
+                except OSError:
+                    pass
+                if fmt == "turtle":
+                    break
     spark = _spark(args.cores)
     if fmt == "nquads":
         from pyspark.sql import functions as F
@@ -377,7 +409,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--warehouse", required=True)
     p.add_argument("--what", choices=["state", "triples"], default="triples")
     p.add_argument(
-        "--fmt", choices=["parquet", "nquads", "trig"], default="parquet"
+        "--fmt",
+        choices=["parquet", "nquads", "trig", "turtle", "ntriples"],
+        default="parquet",
     )
     p.add_argument("--version", type=int, default=None,
                    help="export AS OF this table snapshot (time travel)")

@@ -70,6 +70,31 @@ from .serving import register_views, to_ask_json, to_construct_json, to_sparql_j
 from .streaming.cdc import CdcEngine
 
 
+class HttpError(ValueError):
+    """A handler error with an explicit HTTP status (reference endpoints
+    distinguish 404 file-not-found from 400 bad-request)."""
+
+    def __init__(self, code: int, detail: str):
+        super().__init__(detail)
+        self.code = code
+
+
+# extension → (reader, graph policy) per the reference's dispatch
+# (rdf-workbench.py:99-133 load_rdf_file): Turtle/N-Triples load INTO the
+# target graph; TriG/N-Quads carry their own graph labels. RDF/XML
+# (.owl/.rdf/.xml) is the one reference format without a parser here —
+# rejected loudly, never silently skipped.
+_RDF_EXTS = {
+    ".ttl": ("turtle", True),
+    ".turtle": ("turtle", True),
+    ".trig": ("turtle", False),
+    ".nt": ("nquads", True),
+    ".ntriples": ("nquads", True),
+    ".nq": ("nquads", False),
+    ".nquads": ("nquads", False),
+}
+
+
 class QueryServer:
     """Bounded-result HTTP facade over a registered engine."""
 
@@ -80,10 +105,20 @@ class QueryServer:
         host: str = "127.0.0.1",
         port: int = 0,
         max_limit: int = 10_000,
+        input_dir: str | None = None,
+        graph_store: str | None = None,
     ):
         self.spark = spark
         self.engine = engine
         self.max_limit = max_limit
+        # graph-management surface (rdf-workbench.py:655-714): RDF files
+        # under input_dir load over HTTP into named graphs persisted as
+        # parquet under graph_store — parse once (mapInPandas Turtle
+        # kernel / columnar N-Quads regex), serve forever from a pruned
+        # parquet scan; queries never re-parse the source text
+        self.input_dir = input_dir
+        self.graph_store = graph_store
+        self._graph_lock = threading.Lock()
         self.views: list[str] = []
         # Serializes view (re)registration WITH plan analysis: temp views
         # are re-registered one-by-one per request, so without the lock a
@@ -152,6 +187,7 @@ class QueryServer:
                 routes = {
                     "/batches": lambda: outer.batches_doc(),
                     "/api/graphs": lambda: outer.graphs_doc(),
+                    "/ontologies": lambda: outer.ontologies_doc(),
                     "/api/class/properties": lambda: outer.class_properties_doc(
                         arg("uri")
                     ),
@@ -176,6 +212,8 @@ class QueryServer:
                     return False
                 try:
                     self._send(200, fn())
+                except HttpError as e:
+                    self._send(e.code, {"detail": str(e)})
                 except ValueError as e:
                     self._send(400, {"detail": str(e)})
                 return True
@@ -212,7 +250,28 @@ class QueryServer:
                     self._send(500, {"detail": repr(e)})  # a torn socket
 
             def do_POST(self) -> None:
-                if urlsplit(self.path).path not in ("/query", "/sparql"):
+                parsed = urlsplit(self.path)
+                if parsed.path in ("/api/graphs/load", "/api/graphs/reload"):
+                    # graph-management endpoints (rdf-workbench.py:655,691)
+                    qs = parse_qs(parsed.query)
+                    try:
+                        if parsed.path == "/api/graphs/load":
+                            f = (qs.get("file") or [""])[0]
+                            if not f:
+                                raise HttpError(
+                                    400, "missing query param 'file'"
+                                )
+                            g = (qs.get("graph") or [None])[0]
+                            doc = outer.load_graph_doc(f, graph=g)
+                        else:
+                            doc = outer.reload_graphs_doc()
+                        self._send(200, doc)
+                    except HttpError as e:
+                        self._send(e.code, {"detail": str(e)})
+                    except Exception as e:
+                        self._send(400, {"detail": str(e)})
+                    return
+                if parsed.path not in ("/query", "/sparql"):
                     self._send(404, {"detail": f"unknown path {self.path}"})
                     return
                 try:
@@ -331,13 +390,60 @@ class QueryServer:
         reference's /query contract."""
         if not text.strip():
             raise ValueError("empty sparql query")
-        from .queries.sparql import dataset_from_engine, execute_sparql
+        from .queries.sparql import execute_sparql
 
         lim = self._clamp_limit(limit)
         with self._view_lock:
             self._refresh()
-            ds = dataset_from_engine(self.engine)
+            ds = self._dataset()
         return execute_sparql(ds, text, limit=lim)
+
+    def _dataset(self):
+        """The SPARQL dataset this server answers over: the engine's
+        lake-backed triples/annotations unioned with any HTTP-loaded
+        named graphs (both relations carry the same lexical + metadata
+        column model, so unionByName with null-fill is exact)."""
+        from .queries.sparql import (
+            SparqlDataset,
+            dataset_from_engine,
+            dataset_from_quads,
+        )
+
+        parts = []
+        if self.engine.table.exists():
+            parts.append(dataset_from_engine(self.engine))
+        loaded = self._loaded_quads()
+        if loaded is not None:
+            parts.append(dataset_from_quads(loaded))
+        if not parts:
+            raise HttpError(
+                400, "no data: ingest a batch or load an RDF file first"
+            )
+        if len(parts) == 1:
+            return parts[0]
+        tri = parts[0].triples
+        for p in parts[1:]:
+            tri = tri.unionByName(p.triples, allowMissingColumns=True)
+        anns = [p.annotations for p in parts if p.annotations is not None]
+        ann = anns[0] if anns else None
+        for a in anns[1:]:
+            ann = ann.unionByName(a, allowMissingColumns=True)
+        return SparqlDataset(triples=tri, annotations=ann)
+
+    def _loaded_quads(self):
+        """The persisted HTTP-loaded quad relation, or None when nothing
+        has been loaded. Reads parquet — never re-parses source RDF."""
+        import os
+
+        if not self.graph_store or not os.path.isdir(self.graph_store):
+            return None
+        # the store is partitioned by graph: data lives under graph=...
+        # subdirectories (plus _SUCCESS markers)
+        if not any(
+            not n.startswith((".", "_")) for n in os.listdir(self.graph_store)
+        ):
+            return None
+        return self.spark.read.parquet(self.graph_store)
 
     def _clamp_limit(self, limit: int | None) -> int:
         """limit=0 is a valid request for zero rows — `or`-defaulting
@@ -383,10 +489,11 @@ class QueryServer:
 
     def _triples(self):
         # explorer frames read the engine's snapshot-pinned triples view
-        # directly — they never touch the SQL temp views, so no
-        # register_views refresh (and no _view_lock contention with
-        # running /query requests) is needed here (review finding)
-        return self.engine.triples_view()
+        # (plus any HTTP-loaded graphs) directly — they never touch the
+        # SQL temp views, so no register_views refresh (and no
+        # _view_lock contention with running /query requests) is needed
+        # here (review finding)
+        return self._dataset().triples
 
     def _rows(self, df, order_cols: list[str]) -> list[dict]:
         rows = df.orderBy(*order_cols).limit(self.max_limit).collect()
@@ -425,13 +532,28 @@ class QueryServer:
         return {"count": len(batches), "batches": batches}
 
     def graphs_doc(self) -> dict[str, Any]:
-        """GET /api/graphs (rdf-workbench.py:631): named-graph census."""
+        """GET /api/graphs (rdf-workbench.py:631): named-graph census.
+        Loaded graphs are counted on the RAW quad store (reification and
+        annotation rows included) so the numbers match the reference's
+        pyoxigraph store census — and a TriG file's own self-declared
+        quadCount — rather than the desugared asserted relation."""
         import pyspark.sql.functions as F
 
+        frames = []
+        if self.engine.table.exists():
+            frames.append(self.engine.triples_view().select("graph"))
+        loaded = self._loaded_quads()
+        if loaded is not None:
+            frames.append(loaded.select("graph"))
+        if not frames:
+            raise HttpError(
+                400, "no data: ingest a batch or load an RDF file first"
+            )
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
         rows = self._rows(
-            self._triples()
-            .groupBy("graph")
-            .agg(F.count("*").alias("n")),
+            df.groupBy("graph").agg(F.count("*").alias("n")),
             ["graph"],
         )
         graphs = [
@@ -562,6 +684,238 @@ class QueryServer:
             "dataProperties": data_props,
             "objectLinksOut": links_out,
             "objectLinksIn": links_in,
+        }
+
+    # -- graph management (rdf-workbench.py:655-714,474-628) ----------------
+
+    def _resolve_input(self, rel: str) -> str:
+        """Resolve a client-supplied path against input_dir with the
+        reference's traversal guard (rdf-workbench.py:668-673)."""
+        import os
+
+        if not self.input_dir:
+            raise HttpError(400, "no input_dir configured on this server")
+        base = os.path.abspath(self.input_dir)
+        fp = os.path.abspath(os.path.join(base, rel))
+        if not (fp == base or fp.startswith(base + os.sep)):
+            raise HttpError(400, "Invalid file path")
+        if not os.path.isfile(fp):
+            raise HttpError(404, f"File not found: {rel}")
+        return fp
+
+    def _graph_uri_from_path(self, fp: str) -> str:
+        """Named-graph URI derived from the path relative to input_dir
+        (reference graph_uri_from_path, rdf-workbench.py:90-95)."""
+        import os
+
+        rel = os.path.relpath(fp, self.input_dir).replace(os.sep, "/")
+        return f"http://example.org/graph/{os.path.splitext(rel)[0]}"
+
+    def _read_rdf(self, fp: str, graph_uri: str):
+        """Parse one RDF file → the engine's quad relation, dispatching
+        on extension like the reference loader. Turtle/N-Triples load
+        INTO the named graph; TriG/N-Quads keep their own graph labels
+        (statements outside blocks stay in the default graph, matching
+        pyoxigraph's load-without-to_graph)."""
+        import os
+
+        import pyspark.sql.functions as F
+
+        from .sinks.turtle import _COLS
+
+        ext = os.path.splitext(fp)[1].lower()
+        spec = _RDF_EXTS.get(ext)
+        if spec is None:
+            raise HttpError(
+                400,
+                f"Unsupported file format: {os.path.basename(fp)} "
+                f"(supported: {', '.join(sorted(_RDF_EXTS))}; RDF/XML "
+                "needs a parser this build does not ship)",
+            )
+        fmt, to_graph = spec
+        if fmt == "turtle":
+            from .sinks.turtle import read_turtle
+
+            df = read_turtle(spark=self.spark, path=fp,
+                             graph=graph_uri if to_graph else None)
+        else:
+            from .sinks.rdf_text import read_nquads
+
+            df = read_nquads(self.spark, fp)
+            if to_graph:  # N-Triples: no graph column values of its own
+                df = df.withColumn(
+                    "graph", F.coalesce("graph", F.lit(graph_uri))
+                )
+        # conform to the full quad schema so every load appends to one
+        # parquet relation (read_nquads has no quoted-term columns)
+        return df.select(
+            *[
+                F.col(c).cast("string").alias(c)
+                if c in df.columns
+                else F.lit(None).cast("string").alias(c)
+                for c in _COLS
+            ]
+        )
+
+    def _append_graph_store(self, df, overwrite: bool = False) -> None:
+        """Persist parsed quads partitioned by graph. A single load uses
+        DYNAMIC partition overwrite: it replaces exactly the named graphs
+        it carries, so re-loading a file is idempotent (pyoxigraph's
+        store is a SET, so the reference's re-load doesn't double
+        either); reload replaces the whole store. Partition pruning then
+        serves graph-scoped reads from one directory scan."""
+        import tempfile
+
+        with self._graph_lock:
+            if self.graph_store is None:
+                self.graph_store = tempfile.mkdtemp(prefix="rdfstar_graphs_")
+            (
+                df.write.mode("overwrite")
+                .option(
+                    "partitionOverwriteMode",
+                    "static" if overwrite else "dynamic",
+                )
+                .partitionBy("graph")
+                .parquet(self.graph_store)
+            )
+
+    def load_graph_doc(self, rel: str, graph: str | None = None) -> dict:
+        """POST /api/graphs/load (rdf-workbench.py:656-687): parse one
+        file from input_dir into a named graph and persist it."""
+        import pyspark.sql.functions as F
+
+        fp = self._resolve_input(rel)
+        graph_uri = graph or self._graph_uri_from_path(fp)
+        self._append_graph_store(self._read_rdf(fp, graph_uri))
+        count = (
+            self._loaded_quads()
+            .where(F.col("graph") == graph_uri)
+            .count()
+        )
+        return {
+            "message": f"Loaded {rel} into <{graph_uri}>",
+            "graph": graph_uri,
+            "tripleCount": count,
+        }
+
+    def reload_graphs_doc(self) -> dict:
+        """POST /api/graphs/reload (rdf-workbench.py:691-714): reset the
+        loaded-graph store and reload every supported file under
+        input_dir, each into its path-derived named graph."""
+        import os
+
+        import pyspark.sql.functions as F
+
+        if not self.input_dir:
+            raise HttpError(400, "no input_dir configured on this server")
+        frames = []
+        for root, _dirs, names in sorted(os.walk(self.input_dir)):
+            for n in sorted(names):
+                fp = os.path.join(root, n)
+                if os.path.splitext(n)[1].lower() in _RDF_EXTS:
+                    frames.append(
+                        self._read_rdf(fp, self._graph_uri_from_path(fp))
+                    )
+        if not frames:
+            raise HttpError(400, f"no RDF files under {self.input_dir}")
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+        self._append_graph_store(df, overwrite=True)
+        loaded = self._loaded_quads()
+        total = loaded.count()
+        n_graphs = (
+            loaded.where(F.col("graph").isNotNull())
+            .agg(F.count_distinct("graph"))
+            .collect()[0][0]
+        )
+        return {
+            "message": "Reloaded all files",
+            "totalQuads": total,
+            "namedGraphs": n_graphs,
+        }
+
+    def ontologies_doc(self) -> dict:
+        """GET /ontologies (rdf-workbench.py:474-628): the ontology
+        index — classes plus object/datatype properties with label /
+        comment / domain / range — evaluated by the engine's own SPARQL
+        front end over the served dataset (the reference runs the same
+        SPARQL shapes against pyoxigraph; GRAPH ?g wrapping is dropped
+        because this engine's default graph is already the union)."""
+        import re as _re
+
+        from .queries.sparql import sparql_df
+
+        def local_name(uri: str) -> str:
+            return _re.split(r"[#/]", uri)[-1] or uri
+
+        ds = self._dataset()
+        prologue = """
+            PREFIX owl: <http://www.w3.org/2002/07/owl#>
+            PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+            PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        """
+
+        def run(q: str) -> list[dict]:
+            df = sparql_df(ds, prologue + q)
+            return [
+                r.asDict() for r in df.limit(self.max_limit).collect()
+            ]
+
+        classes = [
+            {
+                "uri": r["cls"],
+                "label": r["label"] or local_name(r["cls"]),
+                "comment": r["comment"],
+                "parent": r["parent"],
+            }
+            for r in run("""
+                SELECT DISTINCT ?cls ?label ?comment ?parent WHERE {
+                    { ?cls a owl:Class } UNION { ?cls a rdfs:Class }
+                    OPTIONAL { ?cls rdfs:label ?label }
+                    OPTIONAL { ?cls rdfs:comment ?comment }
+                    OPTIONAL { ?cls rdfs:subClassOf ?parent }
+                    FILTER(!isBLANK(?cls))
+                } ORDER BY ?cls""")
+        ]
+
+        def props(type_iri: str) -> list[dict]:
+            return [
+                {
+                    "uri": r["prop"],
+                    "label": r["label"] or local_name(r["prop"]),
+                    "domain": r["domain"],
+                    "range": r["range"],
+                }
+                for r in run(f"""
+                    SELECT DISTINCT ?prop ?label ?domain ?range WHERE {{
+                        ?prop a {type_iri} .
+                        OPTIONAL {{ ?prop rdfs:label ?label }}
+                        OPTIONAL {{ ?prop rdfs:domain ?domain }}
+                        OPTIONAL {{ ?prop rdfs:range ?range }}
+                        FILTER(!isBLANK(?prop))
+                    }} ORDER BY ?prop""")
+            ]
+
+        object_properties = props("owl:ObjectProperty")
+        datatype_properties = props("owl:DatatypeProperty")
+        # plain rdf:Property definitions fold into the datatype list
+        # unless already classified (reference rdf-workbench.py:596-604)
+        seen = {
+            p["uri"] for p in object_properties + datatype_properties
+        }
+        datatype_properties += [
+            p for p in props("rdf:Property") if p["uri"] not in seen
+        ]
+        return {
+            "classes": classes,
+            "objectProperties": object_properties,
+            "datatypeProperties": datatype_properties,
+            "counts": {
+                "classes": len(classes),
+                "objectProperties": len(object_properties),
+                "datatypeProperties": len(datatype_properties),
+            },
         }
 
     # -- lifecycle ---------------------------------------------------------

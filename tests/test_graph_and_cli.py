@@ -215,3 +215,55 @@ def test_cli_load_sniff_ignores_braces_in_literals(tmp_path, capsys):
     doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert doc["fmt"] == "nquads"
     assert doc["quads"] == 2
+
+
+def test_cli_export_turtle_and_ntriples_roundtrip(tmp_path, capsys, sf_dir):
+    """S13 extension dispatch parity (reference batch_cli.py:216-242):
+    .ttl = TriG restricted to the default graph (Turtle-star annotation
+    statements survive), .nt = N-Quads without the graph term. Both
+    round-trip through `load --fmt auto` with count parity."""
+    from etl_pipeline_rdf_star_spark import cli
+    from etl_pipeline_rdf_star_spark.session import get_spark
+
+    spark = get_spark("tests")
+    wh = str(tmp_path / "wh_ttl")
+    cli.main(["replay", "--warehouse", wh, "--sf-dir", sf_dir, "--batches", "2"])
+    capsys.readouterr()
+
+    out_ttl = str(tmp_path / "exp_ttl")
+    cli.main(
+        ["export", "--warehouse", wh, "--what", "triples", "--fmt", "turtle",
+         "--out", out_ttl]
+    )
+    e = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert e["rows"] > 0
+    # no graph blocks and no graph terms anywhere: pure Turtle(-star)
+    lines = spark.read.text(out_ttl)
+    assert lines.count() == e["rows"]
+    assert lines.where("value LIKE '%{%'").count() == 0
+    loaded = str(tmp_path / "loaded_ttl")
+    cli.main(["load", "--infile", out_ttl, "--out", loaded])
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the auto sniff must find the `<< ... >>` annotation part files
+    assert doc["fmt"] == "turtle"
+    assert doc["quads"] == e["rows"]
+    q = spark.read.parquet(loaded)
+    assert q.where("graph IS NOT NULL").count() == 0
+    assert q.where("subject_kind = 'quoted'").count() > 0  # star survived
+
+    out_nt = str(tmp_path / "exp_nt")
+    cli.main(
+        ["export", "--warehouse", wh, "--what", "triples", "--fmt", "ntriples",
+         "--out", out_nt]
+    )
+    e2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert e2["rows"] == e["rows"]  # same statements, different syntax
+    loaded2 = str(tmp_path / "loaded_nt")
+    cli.main(["load", "--infile", out_nt, "--out", loaded2])
+    doc2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc2["fmt"] == "nquads"  # N-Triples parse with the strict reader
+    assert doc2["quads"] == e2["rows"]
+    q2 = spark.read.parquet(loaded2)
+    assert q2.where("graph IS NOT NULL").count() == 0
+    # annotations exported as blank reifier subjects in N-Triples
+    assert q2.where("subject_kind = 'blank'").count() > 0

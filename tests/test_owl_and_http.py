@@ -465,3 +465,175 @@ def test_batches_doc_tolerates_pre_lifecycle_ledger(server, spark):
     b = doc["batches"][0]
     assert b["batchNumber"] == "old-b0"
     assert b["status"] is None and b["events"] is None
+
+
+# -- graph management (rdf-workbench.py:655-714,474-628) ----------------------
+
+REF_INPUT = "/root/reference/rdf-data-input"
+REF_TRIG = "/root/reference/output/batch_simulation/two_batches.trig"
+
+
+def _post_empty(srv, path: str) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=b"", method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def gm_server(spark, tmp_path_factory):
+    """A server with an input_dir holding the reference's own workbench
+    fixtures (movie ontology + individuals) and its TriG batch export,
+    plus one ingested CDC batch — so HTTP-loaded graphs and lake-derived
+    triples serve from ONE dataset."""
+    import shutil
+
+    if not os.path.isdir(REF_INPUT):
+        pytest.skip("reference not mounted")
+    from etl_pipeline_rdf_star_spark.http_serving import QueryServer
+    from etl_pipeline_rdf_star_spark.streaming.cdc import CdcEngine
+
+    inp = tmp_path_factory.mktemp("rdf_input")
+    (inp / "ontologies").mkdir()
+    (inp / "individuals").mkdir()
+    (inp / "exports").mkdir()
+    shutil.copy(
+        f"{REF_INPUT}/ontologies/movie-database-ontology.ttl",
+        inp / "ontologies",
+    )
+    shutil.copy(f"{REF_INPUT}/individuals/movie_data.ttl", inp / "individuals")
+    shutil.copy(REF_TRIG, inp / "exports")
+    wh = str(tmp_path_factory.mktemp("gm_wh"))
+    eng = CdcEngine(spark, wh, mode="mor", n_buckets=4)
+    ev = spark.createDataFrame(
+        [(0, "I", "r9", "z.py", "c1", "en", "print(9)", None)],
+        "seq long, op string, repo string, path string, commit string,"
+        " lang string, content string, event_ts timestamp",
+    )
+    eng.apply_batch(ev, "gm-b0")
+    srv = QueryServer(
+        spark,
+        eng,
+        input_dir=str(inp),
+        graph_store=str(tmp_path_factory.mktemp("gm_graphs")),
+    ).start()
+    yield srv
+    srv.stop()
+
+
+def test_graphs_load_ontology_over_http(gm_server):
+    code, doc = _post_empty(
+        gm_server,
+        "/api/graphs/load?file=ontologies/movie-database-ontology.ttl",
+    )
+    assert code == 200
+    assert doc["graph"] == (
+        "http://example.org/graph/ontologies/movie-database-ontology"
+    )
+    assert doc["tripleCount"] == 344  # the file's full quad count
+    # idempotent: loading the same file again replaces its graph
+    code, doc = _post_empty(
+        gm_server,
+        "/api/graphs/load?file=ontologies/movie-database-ontology.ttl",
+    )
+    assert code == 200 and doc["tripleCount"] == 344
+
+    code, doc = _get(gm_server, "/api/graphs")
+    assert code == 200
+    counts = {g["uri"]: g["tripleCount"] for g in doc["graphs"]}
+    assert counts[
+        "http://example.org/graph/ontologies/movie-database-ontology"
+    ] == 344
+
+
+def test_ontologies_endpoint(gm_server):
+    _post_empty(
+        gm_server,
+        "/api/graphs/load?file=ontologies/movie-database-ontology.ttl",
+    )
+    code, doc = _get(gm_server, "/ontologies")
+    assert code == 200
+    assert set(doc) == {
+        "classes", "objectProperties", "datatypeProperties", "counts",
+    }
+    # like the reference, one row per (class, parent): classes with
+    # several subClassOf axioms (named parent + restriction bnodes)
+    # repeat
+    classes = {c["uri"]: c for c in doc["classes"]}
+    movie = classes["http://example.org/movieApp#Movie"]
+    assert movie["label"] == "Movie"
+    assert movie["comment"]  # the fixture declares rdfs:comment
+    parents = {(c["uri"], c["parent"]) for c in doc["classes"]}
+    assert (
+        "http://example.org/movieApp#Review",
+        "http://example.org/movieApp#Post",
+    ) in parents
+    assert set(classes) == {
+        f"http://example.org/movieApp#{n}"
+        for n in ("User", "Movie", "Post", "Review", "Comment", "Rating")
+    }
+    obj = {p["uri"]: p for p in doc["objectProperties"]}
+    rates = obj["http://example.org/movieApp#ratesMovie"]
+    assert rates["domain"] == "http://example.org/movieApp#Rating"
+    assert rates["range"] == "http://example.org/movieApp#Movie"
+    dt = {p["uri"]: p for p in doc["datatypeProperties"]}
+    assert "http://example.org/movieApp#hasYear" in dt
+    assert doc["counts"]["classes"] == len(doc["classes"])
+
+
+def test_trig_load_and_sparql_roundtrip(gm_server):
+    # the reference engine's own TriG batch export loads over HTTP with
+    # its own graph labels; /api/graphs matches the file's self-declared
+    # per-batch quadCount (32 each), and the reifier annotations answer
+    # SPARQL-star patterns through POST /sparql
+    code, doc = _post_empty(
+        gm_server, "/api/graphs/load?file=exports/two_batches.trig"
+    )
+    assert code == 200  # derived graph gets 0 rows: TriG keeps own graphs
+    assert doc["tripleCount"] == 0
+
+    code, doc = _get(gm_server, "/api/graphs")
+    counts = {g["uri"]: g["tripleCount"] for g in doc["graphs"]}
+    assert counts["http://example.org/batch/2026-02-15T10:00:00Z"] == 32
+    assert counts["http://example.org/batch/2026-02-17T10:00:00Z"] == 32
+
+    code, doc = _post(gm_server, {"sparql": """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?cust ?score ?src WHERE {
+            << ?cust schema:creditScore ?score >>
+                <http://www.w3.org/ns/prov#wasDerivedFrom> ?src . }"""})
+    assert code == 200
+    assert len(doc["results"]["bindings"]) == 8
+
+    # lake-derived triples and HTTP-loaded graphs serve from ONE dataset
+    code, doc = _post(gm_server, {"sparql": """
+        SELECT (COUNT(*) AS ?n) WHERE {
+            { ?s a <http://example.org/SourceFile> }
+            UNION
+            { ?s a <http://www.w3.org/2002/07/owl#Class> } }"""})
+    assert code == 200
+    n = int(doc["results"]["bindings"][0]["n"]["value"])
+    assert n == 1 + 6  # one ingested file + six owl:Class definitions
+
+
+def test_graphs_reload_all(gm_server):
+    code, doc = _post_empty(gm_server, "/api/graphs/reload")
+    assert code == 200
+    assert doc["message"] == "Reloaded all files"
+    assert doc["totalQuads"] == 344 + 279 + 80
+    assert doc["namedGraphs"] == 5  # onto + individuals + 3 TriG graphs
+
+
+def test_graphs_load_guards(gm_server):
+    code, doc = _post_empty(gm_server, "/api/graphs/load?file=missing.ttl")
+    assert code == 404 and "not found" in doc["detail"].lower()
+    code, doc = _post_empty(
+        gm_server, "/api/graphs/load?file=../../etc/passwd"
+    )
+    assert code == 400
+    code, doc = _post_empty(gm_server, "/api/graphs/load")
+    assert code == 400 and "file" in doc["detail"]
