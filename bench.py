@@ -45,6 +45,52 @@ HEADLINE = [
 ]
 
 
+_HTTP_SPARQL = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?subject ?lang_value ?confidence WHERE {
+        << ?subject ex:lang ?lang_value >> ex:confidence ?confidence .
+        FILTER(?confidence > 0.8)
+    }
+"""
+
+
+def _http_sparql_repeat(spark, sf_dir: str, n: int = 10) -> dict:
+    """Cold + median repeat latency of one SPARQL-star request over the
+    HTTP shim (the reference's headline serving-latency metric class)."""
+    import statistics
+    import urllib.request
+
+    from etl_pipeline_rdf_star_spark.http_serving import QueryServer
+    from etl_pipeline_rdf_star_spark.queries.corpus import _lake_engine
+
+    srv = QueryServer(spark, _lake_engine(spark, sf_dir)).start()
+    try:
+        body = json.dumps({"sparql": _HTTP_SPARQL}).encode()
+
+        def once() -> float:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/query",
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(req) as resp:
+                json.loads(resp.read())
+            return time.perf_counter() - t0
+
+        cold = once()
+        repeats = [once() for _ in range(n)]
+        return {
+            "cold_sec": round(cold, 3),
+            "repeat_median_sec": round(statistics.median(repeats), 3),
+            "repeat_min_sec": round(min(repeats), 3),
+            "n_repeats": n,
+        }
+    finally:
+        srv.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -142,6 +188,15 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # -- HTTP serving repeat latency (round-4 VERDICT item 7) --------------
+    # the reference's headline metric class is SPARQL latency on a warm
+    # store (<200 ms); measure N repeated identical requests end-to-end
+    # over the shim so the serving plan cache's effect is tracked
+    # round-over-round, not just engine wall times
+    http_stats = _http_sparql_repeat(spark, sf_dir)
+    timings["http_sparql_cold"] = http_stats["cold_sec"]
+    timings["http_sparql_repeat"] = http_stats["repeat_median_sec"]
 
     # -- ANN / dedup at bucketing scale (round-2 VERDICT item 2) -----------
     # 100k synthetic vectors / 50k boilerplate-laced docs: exact twins vs

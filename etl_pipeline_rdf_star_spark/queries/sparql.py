@@ -3037,13 +3037,19 @@ def execute_sparql(ds: SparqlDataset, query: str, limit: int = 10_000) -> dict:
     """Run a SPARQL(-star) query and render the reference's result
     document for its form: SELECT → SPARQL 1.1 JSON results, ASK →
     ``{"boolean": b}``, CONSTRUCT → ``{"triples": [...], "count": n}``."""
+    q = parse_sparql(query)
+    return render_sparql_result(q.form, sparql_df(ds, q), limit=limit)
+
+
+def render_sparql_result(form: str, df: DataFrame, limit: int = 10_000) -> dict:
+    """Result-document rendering for an already-compiled query plan —
+    split out of execute_sparql so a serving plan cache can skip
+    parse+compile and re-render the cached DataFrame per request."""
     from ..serving import to_ask_json, to_construct_json, to_sparql_json
 
-    q = parse_sparql(query)
-    df = sparql_df(ds, q)
-    if q.form == "ask":
+    if form == "ask":
         return to_ask_json(df)
-    if q.form in ("construct", "describe"):
+    if form in ("construct", "describe"):
         return to_construct_json(df, limit=limit)
     return to_sparql_json(df, limit=limit)
 
