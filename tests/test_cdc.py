@@ -708,3 +708,105 @@ def test_purge_spares_reinserted_keys(spark, tmp_path):
     # the bound reflects the actually-purged tombstone (d.py@8), and the
     # ledger keys by batch id
     assert wm is not None and list(wm["counted"]) and wm["below_seq"] == 8
+
+
+CHAOS_CHILD = '''
+"""Chaos child: streaming shell with a SIGKILL injected at the commit
+boundary — AFTER the MERGE data commit, BEFORE the ledger append."""
+import os
+import signal
+import sys
+
+sys.path.insert(0, sys.argv[1])
+from etl_pipeline_rdf_star_spark.session import get_spark
+from etl_pipeline_rdf_star_spark.streaming.cdc import CdcEngine
+
+repo, ev_dir, ckpt, wh, marker, kill_batch = sys.argv[1:7]
+
+
+class ChaosEngine(CdcEngine):
+    def _commit_metadata(self, batch_id, *a, **kw):
+        if batch_id == kill_batch and not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write(batch_id)
+            os.kill(os.getpid(), signal.SIGKILL)  # no cleanup, no flush
+        return super()._commit_metadata(batch_id, *a, **kw)
+
+
+spark = get_spark("chaos", cores=4, shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+eng = ChaosEngine(spark, wh, mode="mor", n_buckets=4)
+eng.run_stream(ev_dir, ckpt)
+print("CHAOS_CHILD_DONE")
+'''
+
+
+def test_kill_between_merge_and_ledger_is_exactly_once(
+    spark, tmp_path, events, oracle_fp
+):
+    """Round-5 verdict ask #4 — the chaos drill the clean-restart tests
+    don't cover: SIGKILL the streaming process at the exact commit
+    boundary (data MERGE committed, ledger append not yet run), restart,
+    and prove exactly-once held: final fingerprint == oracle, the ledger
+    has no duplicate and no phantom batch, and every committed batch has
+    its ledger row with true counts."""
+    import os
+    import subprocess
+    import sys
+
+    ev_dir = str(tmp_path / "events")
+    hi = events.agg(F.max("seq")).collect()[0][0]
+    step = (hi + 4) // 4
+    for i in range(4):  # 4 files → 4 stream epochs (maxFilesPerTrigger=1)
+        events.where(
+            (F.col("seq") >= i * step) & (F.col("seq") < (i + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    ckpt, wh = str(tmp_path / "ckpt"), str(tmp_path / "wh_chaos")
+    marker = str(tmp_path / "killed")
+    kill_batch = "stream-00000001"
+    child = tmp_path / "chaos_child.py"
+    child.write_text(CHAOS_CHILD)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    argv = [sys.executable, str(child), repo, ev_dir, ckpt, wh, marker,
+            kill_batch]
+
+    # run 1: dies by SIGKILL mid-commit
+    p1 = subprocess.run(argv, capture_output=True, text=True, timeout=600,
+                        cwd=str(tmp_path))
+    assert p1.returncode == -9, p1.stderr[-2000:]
+    assert os.path.exists(marker)
+
+    # the injected state is real: the batch's DATA is committed to the
+    # lake, its ledger row is missing — the torn window exactly-once
+    # must close
+    eng_peek = CdcEngine(spark, wh, mode="mor", n_buckets=4)
+    assert kill_batch in eng_peek.table.snapshot().committed_batches
+    assert kill_batch not in eng_peek.batches.committed_batches()
+
+    # run 2: restart resumes from the checkpoint, re-delivers the torn
+    # epoch (idempotent MERGE skips), and processes the rest
+    p2 = subprocess.run(argv, capture_output=True, text=True, timeout=600,
+                        cwd=str(tmp_path))
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert "CHAOS_CHILD_DONE" in p2.stdout
+
+    eng = CdcEngine(spark, wh, mode="mor", n_buckets=4)
+    # converged exactly-once: fingerprint == independent oracle
+    assert table_fingerprint(eng.current_state(), STATE_COLS) == oracle_fp
+
+    # ledger hygiene: one resolved row per batch, no duplicates
+    lv = eng.ledger_view()
+    ids = [r["batch_id"] for r in lv.collect()]
+    assert sorted(ids) == sorted(set(ids))
+    committed = set(eng.table.snapshot().committed_batches)
+    # no phantom (ledger row without data) and no orphan (data without
+    # ledger row); the torn batch's recovered row carries TRUE counts
+    assert set(ids) == committed
+    assert {f"stream-{i:08d}" for i in range(4)} <= committed
+    by_id = {r["batch_id"]: r for r in lv.collect()}
+    torn = by_id[kill_batch]
+    assert torn["skipped"]  # recovered via the re-delivery path
+    assert torn["events"] and torn["events"] > 0
+    n_events = events.count()
+    assert sum(r["events"] for r in by_id.values()) == n_events
