@@ -590,7 +590,7 @@ class _Parser:
             raise SparqlParseError(f"undefined prefix {p!r}")
         return self.prefixes[p] + local
 
-    def _term(self, *, allow_quoted: bool = True) -> Term:
+    def _term(self, *, allow_quoted: bool = True, qdepth: int = 0) -> Term:
         tok = self.lx.next()
         if tok is None:
             raise SparqlParseError("unexpected end of query")
@@ -619,9 +619,15 @@ class _Parser:
         if kind == "<<":
             if not allow_quoted:
                 raise SparqlUnsupported("nested quoted pattern")
-            s = self._term(allow_quoted=False)
-            p = self._term(allow_quoted=False)
-            o = self._term(allow_quoted=False)
+            # one nesting level inside a quoted term: a GROUND depth-2
+            # quoted s/o compiles to the engine's serialized string form
+            # (see _bind / _serialize_quoted); depth 3 stays loud. The
+            # flag is threaded, not reset, so <<<<<<...>>>>>> can't
+            # sneak through the recursion.
+            inner = allow_quoted and qdepth == 0
+            s = self._term(allow_quoted=inner, qdepth=qdepth + 1)
+            p = self._term(allow_quoted=False, qdepth=qdepth + 1)
+            o = self._term(allow_quoted=inner, qdepth=qdepth + 1)
             self.lx.expect(">>")
             return Term("quoted", (s, p, o))
         raise SparqlParseError(f"unexpected term token {tok!r}")
@@ -1876,6 +1882,15 @@ class _Planner:
                 df = df.where(F.col(col) == term.value)
             elif term.kind in ("literal", "num"):
                 df = df.where(F.col(col) == str(term.value))
+            elif term.kind == "quoted":
+                # a GROUND nested quoted term matches by its serialized
+                # string form — the representation both the Turtle
+                # reader's depth-2 desugaring and dataset_from_quads'
+                # quoted-object rendering store; _serialize_quoted
+                # rejects variables inside loudly (destructuring the
+                # serialized string per-var is the storage model's
+                # documented limit)
+                df = df.where(F.col(col) == _serialize_quoted(term))
             else:
                 raise SparqlUnsupported(f"term {term.kind} in pattern")
         if not select:  # pure existence pattern: ONE solution if any match

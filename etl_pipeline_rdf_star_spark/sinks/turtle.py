@@ -243,6 +243,7 @@ class _Parser:
         self.default_graph = default_graph
         self.quads: list[dict[str, Any]] = []
         self._bn = 0
+        self._qdepth = 0  # quoted-triple nesting depth (max 2)
 
     # -- terms -------------------------------------------------------------
 
@@ -351,23 +352,38 @@ class _Parser:
             # RDF 1.2 triple-term spelling <<( s p o )>> — what pyoxigraph
             # (the reference's store) serializes for rdf:reifies objects —
             # lexes as '<<' '(' ... ')' '>>'; the paren pair is optional
-            paren = self.lx.peek() == ("(", None)
-            if paren:
-                self.lx.next()
-            qs, qsk, _, _ = self._term(graph)
-            qp = self._predicate()
-            qo, qok, _, _ = self._term(graph)
-            if qsk == "quoted" or qok == "quoted":
-                # a nested tuple would leak into the string-typed q_* columns
-                # and fail executor-side at Arrow conversion — refuse here
+            self._qdepth += 1
+            if self._qdepth > 2:
+                # deeper nesting would require serializing a serialized
+                # form — ambiguous to re-parse; keep the loud guard
                 raise TurtleParseError(
-                    "nested quoted triples are not supported (one level of "
-                    "annotation: q_s/q_p/q_o are scalar term columns)"
+                    "quoted triples nested deeper than 2 levels are not "
+                    "supported"
                 )
-            if paren and self.lx.next() != (")", None):
-                raise TurtleParseError("expected ')' in '<<( ... )>>'")
-            if self.lx.next() != (">>", None):
-                raise TurtleParseError("expected '>>'")
+            try:
+                paren = self.lx.peek() == ("(", None)
+                if paren:
+                    self.lx.next()
+                qs, qsk, _, _ = self._term(graph)
+                qp = self._predicate()
+                qo, qok, _, _ = self._term(graph)
+                if paren and self.lx.next() != (")", None):
+                    raise TurtleParseError("expected ')' in '<<( ... )>>'")
+                if self.lx.next() != (">>", None):
+                    raise TurtleParseError("expected '>>'")
+            finally:
+                self._qdepth -= 1
+            # depth-2: the INNER quoted triple desugars into the engine's
+            # serialized term form "<< s p o >>" (the same string
+            # dataset_from_quads renders and the SPARQL-star accessors
+            # destructure), so q_s/q_p/q_o stay scalar string columns.
+            # The inner terms keep their lexical forms; an inner typed
+            # literal's datatype/lang is not carried (the serialized form
+            # is lexical, like every quoted-position value in the model).
+            if qsk == "quoted":
+                qs = f"<< {qs[0]} {qs[1]} {qs[2]} >>"
+            if qok == "quoted":
+                qo = f"<< {qo[0]} {qo[1]} {qo[2]} >>"
             return ((qs, qp, qo), "quoted", None, None)
         raise TurtleParseError(f"unexpected token {kind!r} {val!r}")
 

@@ -361,17 +361,36 @@ def test_base_fragment_and_query_resolution():
     )
 
 
-def test_kernel_rejects_nested_quoted_triples():
-    # one annotation level: a nested quoted term would put a tuple into the
-    # string-typed q_* columns and fail executor-side at Arrow conversion
-    for text in [
+def test_kernel_desugars_depth2_quoted_triples():
+    # round-5 verdict ask #6: a depth-2 quoted term desugars into the
+    # engine's serialized "<< s p o >>" string form — q_s/q_p/q_o stay
+    # scalar string columns (the original review finding was a TUPLE
+    # leaking into them, not the nesting itself)
+    rows = parse_turtle_text(
         "@prefix ex: <http://e/> .\n"
-        "<< << ex:a ex:b ex:c >> ex:d ex:e >> ex:p ex:o .",
+        "<< << ex:a ex:b ex:c >> ex:d ex:e >> ex:p ex:o ."
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["subject_kind"] == "quoted"
+    assert r["q_s"] == "<< http://e/a http://e/b http://e/c >>"
+    assert (r["q_p"], r["q_o"]) == ("http://e/d", "http://e/e")
+    # nested OBJECT position too (reference reifier spelling)
+    rows = parse_turtle_text(
         "@prefix ex: <http://e/> .\n"
-        "ex:r ex:p << << ex:a ex:b ex:c >> ex:d ex:e >> .",
-    ]:
-        with pytest.raises(TurtleParseError, match="nested quoted"):
-            parse_turtle_text(text)
+        "ex:r ex:p << ex:d ex:e << ex:a ex:b ex:c >> >> ."
+    )
+    assert rows[0]["q_o"] == "<< http://e/a http://e/b http://e/c >>"
+
+
+def test_kernel_rejects_depth3_quoted_triples():
+    # the loud guard moves to depth >= 3: serializing an already-
+    # serialized form would be ambiguous to re-parse
+    with pytest.raises(TurtleParseError, match="deeper than 2"):
+        parse_turtle_text(
+            "@prefix ex: <http://e/> .\n"
+            "<< << << ex:x ex:y ex:z >> ex:b ex:c >> ex:d ex:e >> ex:p ex:o ."
+        )
 
 
 @pytest.mark.skipif(not os.path.exists(BATCH_TRIG), reason="reference not mounted")
