@@ -267,8 +267,19 @@ def cmd_load(args) -> None:
             # sniff SEVERAL part files, not just the first: a turtle(-star)
             # export shards plain statements and `<< ... >>` annotation
             # statements into different part files, and only the latter
-            # carry a turtle-only marker
-            probes = [_os.path.join(probe, n) for n in names[:64]]
+            # carry a turtle-only marker. Sample with a STRIDE across the
+            # whole sorted listing (always including the last file)
+            # rather than names[:64] — annotation shards sort AFTER the
+            # plain-statement shards, so a >=64-shard export's markers
+            # were never probed and the dir was misclassified as N-Quads
+            # (review finding). Misclassification stays loud (the strict
+            # N-Quads reader raises on the first `<<` line), but the
+            # documented export→load round-trip must not need --fmt.
+            if len(names) > 64:
+                step = max(1, len(names) // 63)
+                picked = names[::step][:63] + [names[-1]]
+                names = list(dict.fromkeys(picked))
+            probes = [_os.path.join(probe, n) for n in names]
             probe = probes[0] if probes else probe
         low = probe.lower()
         if low.endswith((".nq", ".nt")):

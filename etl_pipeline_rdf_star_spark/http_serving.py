@@ -58,6 +58,7 @@ shadow the first's.
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -125,7 +126,17 @@ class QueryServer:
 
         self._plan_cache: OrderedDict = OrderedDict()
         self._plan_cache_size = 128
+        # the store is MVCC-versioned (see _append_graph_store): resume
+        # from the latest v* directory when handed a pre-existing store
         self._graph_epoch = 0
+        if graph_store and os.path.isdir(graph_store):
+            vers = [
+                int(n[1:])
+                for n in os.listdir(graph_store)
+                if n.startswith("v") and n[1:].isdigit()
+            ]
+            if vers:
+                self._graph_epoch = max(vers)
         self.views: list[str] = []
         # Serializes view (re)registration WITH plan analysis: temp views
         # are re-registered one-by-one per request, so without the lock a
@@ -470,15 +481,13 @@ class QueryServer:
         has been loaded. Reads parquet — never re-parses source RDF."""
         import os
 
-        if not self.graph_store or not os.path.isdir(self.graph_store):
-            return None
-        # the store is partitioned by graph: data lives under graph=...
-        # subdirectories (plus _SUCCESS markers)
-        if not any(
-            not n.startswith((".", "_")) for n in os.listdir(self.graph_store)
+        if (
+            not self.graph_store
+            or self._graph_epoch == 0
+            or not os.path.isdir(self._graph_version_path())
         ):
             return None
-        return self.spark.read.parquet(self.graph_store)
+        return self.spark.read.parquet(self._graph_version_path())
 
     def _clamp_limit(self, limit: int | None) -> int:
         """limit=0 is a valid request for zero rows — `or`-defaulting
@@ -730,8 +739,11 @@ class QueryServer:
 
         if not self.input_dir:
             raise HttpError(400, "no input_dir configured on this server")
-        base = os.path.abspath(self.input_dir)
-        fp = os.path.abspath(os.path.join(base, rel))
+        # realpath, not abspath: a symlink planted inside input_dir must
+        # not escape the base directory (review finding — abspath passes
+        # the prefix check, then isfile FOLLOWS the link out of tree)
+        base = os.path.realpath(self.input_dir)
+        fp = os.path.realpath(os.path.join(base, rel))
         if not (fp == base or fp.startswith(base + os.sep)):
             raise HttpError(400, "Invalid file path")
         if not os.path.isfile(fp):
@@ -793,27 +805,55 @@ class QueryServer:
         )
 
     def _append_graph_store(self, df, overwrite: bool = False) -> None:
-        """Persist parsed quads partitioned by graph. A single load uses
-        DYNAMIC partition overwrite: it replaces exactly the named graphs
-        it carries, so re-loading a file is idempotent (pyoxigraph's
-        store is a SET, so the reference's re-load doesn't double
-        either); reload replaces the whole store. Partition pruning then
-        serves graph-scoped reads from one directory scan."""
+        """Persist parsed quads partitioned by graph, MVCC-style: every
+        load writes a NEW version directory (v000001, v000002, ...) and
+        readers resolve the current version at plan time — an in-place
+        partition overwrite would DELETE the files an in-flight /sparql
+        scan is reading and kill it with FileNotFoundException (review
+        finding). A single load replaces exactly the named graphs it
+        carries (so re-loading a file is idempotent — pyoxigraph's store
+        is a SET, the reference's re-load doesn't double either) by
+        carrying the untouched graphs' rows forward into the new
+        version; reload replaces the whole store. Old versions are left
+        on disk for the server's lifetime: a workbench ontology store is
+        small, and any retained DataFrame handle stays valid. Partition
+        pruning still serves graph-scoped reads from one directory
+        scan."""
+        import os
         import tempfile
+
+        import pyspark.sql.functions as F
 
         with self._graph_lock:
             if self.graph_store is None:
                 self.graph_store = tempfile.mkdtemp(prefix="rdfstar_graphs_")
-            (
-                df.write.mode("overwrite")
-                .option(
-                    "partitionOverwriteMode",
-                    "static" if overwrite else "dynamic",
+            if not overwrite and self._graph_epoch > 0:
+                cur = self.spark.read.parquet(self._graph_version_path())
+                # graphs in THIS load: bounded by the file's own graph
+                # labels (a handful), never the store size
+                replaced = [
+                    r[0] for r in df.select("graph").distinct().collect()
+                ]
+                vals = [g for g in replaced if g is not None]
+                drop = (
+                    F.col("graph").isin(vals) if vals else F.lit(False)
                 )
-                .partitionBy("graph")
-                .parquet(self.graph_store)
+                if None in replaced:
+                    drop = drop | F.col("graph").isNull()
+                keep = cur.where(~F.coalesce(drop, F.lit(False)))
+                df = keep.unionByName(df, allowMissingColumns=True)
+            target = os.path.join(
+                self.graph_store, f"v{self._graph_epoch + 1:06d}"
             )
-            self._graph_epoch += 1  # invalidate cached plans (see _compiled)
+            df.write.mode("overwrite").partitionBy("graph").parquet(target)
+            # publish only after the write landed; also invalidates
+            # cached plans (see _compiled)
+            self._graph_epoch += 1
+
+    def _graph_version_path(self) -> str:
+        import os
+
+        return os.path.join(self.graph_store, f"v{self._graph_epoch:06d}")
 
     def load_graph_doc(self, rel: str, graph: str | None = None) -> dict:
         """POST /api/graphs/load (rdf-workbench.py:656-687): parse one

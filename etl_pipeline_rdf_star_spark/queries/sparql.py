@@ -83,6 +83,12 @@ _NUM_RE = re.compile(r"^[+-]?(\d+(\.\d+)?([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)$"
 # the engine's serialized quoted-triple term "<< s p o >>" (see
 # dataset_from_quads) — what isTRIPLE/SUBJECT/PREDICATE/OBJECT recognize
 _TRIPLE_TERM_RE = r"^<< \S+ \S+ .* >>$"
+# general ABSOLUTE-IRI shape (RFC 3987 scheme + no forbidden chars):
+# what IRI()-minting validity and subject-position kind inference use —
+# deliberately broader than the serving sniff's known-scheme _IRI_RE,
+# which would misfile mailto:/did:/tag: IRIs the engine itself stores
+# with kind 'iri' (review finding)
+_ABS_IRI_RE = r'^[A-Za-z][A-Za-z0-9+.\-]*:[^\s<>"{}|\\^`]*$'
 
 
 def _serialize_quoted(t) -> str:
@@ -1291,20 +1297,131 @@ def _term_kind_col(df, var: str | None, s: Column) -> Column:
     )
 
 
+def _expr_const_term(e: "Expr") -> "Term | None":
+    """The parsed Term when the expression is a non-var constant."""
+    if isinstance(e, Expr) and e.op == "term" and e.args[0].kind != "var":
+        return e.args[0]
+    return None
+
+
+# builtins whose RESULT kind is fixed by the function itself — the
+# shape sniff misfiles e.g. a minted mailto: IRI as 'literal' (review
+# finding: isIRI(IRI(STR(?m))) disagreed with isIRI(?m))
+_CALL_RESULT_KIND = {
+    "iri": "iri", "uri": "iri", "triple": "triple",
+    "strdt": "literal", "strlang": "literal", "str": "literal",
+    "concat": "literal", "ucase": "literal", "lcase": "literal",
+    "substr": "literal", "strbefore": "literal", "strafter": "literal",
+    "replace": "literal", "encode_for_uri": "literal",
+}
+
+
 def _expr_kind_col(df, e: "Expr", c: Column) -> Column:
     """Term-kind of a compiled expression column. A CONSTANT term knows
     its kind from the parse (an IRI stays 'iri' even when its scheme is
-    outside the sniff set, e.g. mailto:); a bare var consults stored
-    metadata via _term_kind_col; a computed expression falls back to the
-    same classifier's shape sniff."""
-    if isinstance(e, Expr) and e.op == "term" and e.args[0].kind != "var":
-        k = e.args[0].kind
-        if k == "iri":
+    outside the sniff set, e.g. mailto:); a kind-minting builtin knows
+    its result kind; a bare var consults stored metadata via
+    _term_kind_col; any other computed expression falls back to the
+    same classifier's shape sniff. Callers null-gate the VALUE — an
+    unbound operand never reaches a kind comparison."""
+    t = _expr_const_term(e)
+    if t is not None:
+        if t.kind == "iri":
             return F.lit("iri")
-        if k == "quoted":
+        if t.kind == "quoted":
             return F.lit("triple")
         return F.lit("literal")
+    if isinstance(e, Expr) and e.op == "call":
+        k = _CALL_RESULT_KIND.get(e.args[0])
+        if k is not None:
+            return F.when(c.isNotNull(), F.lit(k))
     return _term_kind_col(df, _expr_var_name(e), c)
+
+
+def _num_dt(lex: str) -> str:
+    """The XSD datatype a bare numeric literal denotes (SPARQL 19.2 /
+    Turtle shorthand — same rule as the Turtle reader's)."""
+    if "e" in lex.lower():
+        return "http://www.w3.org/2001/XMLSchema#double"
+    if "." in lex:
+        return "http://www.w3.org/2001/XMLSchema#decimal"
+    return "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _strdt_call(e: "Expr") -> "tuple[str, Term] | None":
+    """(fn, constant second arg) when e is STRDT/STRLANG with the
+    metadata-valid constant shape _bind_constructed_meta attaches for."""
+    if isinstance(e, Expr) and e.op == "call":
+        fn, args = e.args
+        if (
+            fn in ("strdt", "strlang")
+            and len(args) == 2
+            and args[1].op == "term"
+            and _strdt_meta_ok(fn, args[1].args[0])
+        ):
+            return fn, args[1].args[0]
+    return None
+
+
+def _expr_dt_col(df, e: "Expr", c: Column) -> Column:
+    """EFFECTIVE datatype of an expression for term-identity comparison
+    (sameTerm / RDF 1.1: every literal has a datatype — plain ⇒
+    xsd:string, tagged ⇒ rdf:langString). Null for non-literals — the
+    kind leg distinguishes those. Normalizing through the effective
+    datatype keeps the three literal encodings consistent: stored
+    dt/lang markers, STRDT/STRLANG-constructed markers, and parse-time
+    constants (review finding: constant operands contributed null
+    metadata, so "chat" and "chat"@en compared sameTerm-true)."""
+    t = _expr_const_term(e)
+    if t is not None:
+        if t.kind == "num":
+            return F.lit(_num_dt(str(t.value)))
+        if t.kind == "literal":
+            return F.lit(
+                t.datatype
+                or (_RDF_LANGSTRING if t.lang else _XSD_STRING)
+            )
+        return F.lit(None).cast("string")
+    sc = _strdt_call(e)
+    if sc is not None:
+        fn, arg = sc
+        dt = str(arg.value) if fn == "strdt" else _RDF_LANGSTRING
+        return F.when(c.isNotNull(), F.lit(dt))
+    var = _expr_var_name(e)
+    return F.when(
+        _expr_kind_col(df, e, c) == "literal",
+        F.coalesce(
+            _meta_col(df, var, "dt"),
+            F.when(
+                _meta_col(df, var, "lang").isNotNull(),
+                F.lit(_RDF_LANGSTRING),
+            ),
+            F.lit(_XSD_STRING),
+        ),
+    )
+
+
+def _expr_lang_col(df, e: "Expr", c: Column) -> Column:
+    """EFFECTIVE language tag for term-identity comparison: "" for
+    untagged literals (17.4.2.5), the tag for tagged ones, null for
+    non-literals."""
+    t = _expr_const_term(e)
+    if t is not None:
+        if t.kind == "num":
+            return F.lit("")
+        if t.kind == "literal":
+            return F.lit(t.lang or "")
+        return F.lit(None).cast("string")
+    sc = _strdt_call(e)
+    if sc is not None:
+        fn, arg = sc
+        tag = str(arg.value) if fn == "strlang" else ""
+        return F.when(c.isNotNull(), F.lit(tag))
+    var = _expr_var_name(e)
+    return F.when(
+        _expr_kind_col(df, e, c) == "literal",
+        F.coalesce(_meta_col(df, var, "lang"), F.lit("")),
+    )
 
 
 def _strdt_meta_ok(fn: str, t: Term) -> bool:
@@ -1580,6 +1697,16 @@ class _Planner:
         if expr.op != "call":
             return df
         fn, args = expr.args
+        if fn in ("iri", "uri", "triple"):
+            # a kind-minting builtin: ride the result kind along so
+            # isIRI/isTRIPLE/sameTerm on the BIND var classify it by
+            # what was minted, not by the scheme sniff (review finding:
+            # BIND(IRI("mailto:x") AS ?u) sniffed 'literal')
+            kind = "iri" if fn in ("iri", "uri") else "triple"
+            return df.withColumn(
+                _fresh(f"kind_{var}"),
+                F.when(F.col(var).isNotNull(), F.lit(kind)),
+            )
         if fn not in ("strdt", "strlang") or len(args) != 2:
             return df
         t = args[1]
@@ -1916,6 +2043,36 @@ class _Planner:
                     proj.append(
                         F.col(src).alias(_fresh(f"{tag}_{ometa.value}"))
                     )
+        # positional kind markers: the RDF model fixes what a non-object
+        # position can hold, so kind classification needs no lexical
+        # sniff there (review finding: a bare stored bnode label
+        # 'genid1' or a mailto: IRI in subject position sniffed
+        # 'literal', breaking isBLANK/TRIPLE/sameTerm on subject vars).
+        # Subjects are IRIs or bnodes (quoted subjects live in the
+        # annotations relation): stored subject_kind wins when the
+        # frame carries it; otherwise anything that isn't an absolute
+        # IRI (or a serialized triple term, for q_o-sourced joins) must
+        # be a bnode label. Predicates and graph names are always IRIs.
+        for pos, always_iri in (
+            ("subject", False), ("q_s", False),
+            ("predicate", True), ("q_p", True), ("graph", True),
+        ):
+            t = cols.get(pos)
+            if t is None or t.kind != "var" or t.value not in self.meta_vars:
+                continue
+            c = F.col(pos)
+            if always_iri:
+                kind = F.when(c.isNotNull(), F.lit("iri"))
+            else:
+                inferred = (
+                    F.when(c.rlike(_TRIPLE_TERM_RE), F.lit("triple"))
+                    .when(c.rlike(_ABS_IRI_RE), F.lit("iri"))
+                    .otherwise(F.lit("blank"))
+                )
+                if pos == "subject" and "subject_kind" in df.columns:
+                    inferred = F.coalesce(F.col("subject_kind"), inferred)
+                kind = F.when(c.isNotNull(), inferred)
+            proj.append(kind.alias(_fresh(f"kind_{t.value}")))
         return df.select(*proj)
 
     def _join(
@@ -2310,14 +2467,15 @@ class _Planner:
                 }[fn]
                 return getter(ts)
             if fn in ("isiri", "isuri", "isliteral", "isblank"):
-                # shared _term_kind_col precedence (review findings: a
+                # shared _expr_kind_col precedence (review findings: a
                 # pure shape sniff disagreed with DATATYPE on
-                # STRDT-constructed literals, and the literal fallback
+                # STRDT-constructed literals, the literal fallback
                 # called a serialized triple term a literal — a triple
-                # term is none of iri/literal/blank)
-                var = _expr_var_name(args[0]) if args else None
+                # term is none of iri/literal/blank — and a CONSTANT or
+                # kind-minting-call operand knows its kind without any
+                # sniff, so isIRI(IRI(...)) agrees with the mint)
                 s = cols[0].cast("string")
-                kind = _term_kind_col(df, var, s)
+                kind = _expr_kind_col(df, args[0], s)
                 want = {
                     "isblank": "blank",
                     "isiri": "iri",
@@ -2356,25 +2514,26 @@ class _Planner:
             if fn == "ceil":
                 return F.ceil(cols[0].try_cast("double"))
             if fn == "sameterm":
-                # exact TERM equality: lexical string equality AND (for
-                # direct vars carrying metadata markers) null-safe
-                # equality of datatype/lang plus the shared kind
-                # classification — STRDT("a", xsd:token) and plain "a"
-                # are different terms, as the DISTINCT machinery already
-                # treats them (advisor finding: two notions of term
-                # identity in one engine). Deliberately no numeric
+                # exact TERM equality: lexical string equality AND
+                # null-safe equality of the EFFECTIVE datatype/lang
+                # (_expr_dt_col/_expr_lang_col: constants contribute
+                # their parse-time metadata, vars their stored markers,
+                # plain literals normalize to xsd:string — review
+                # finding: the raw-marker comparison made a typed
+                # CONSTANT operand contribute null metadata) plus the
+                # shared kind classification — STRDT("a", xsd:token)
+                # and plain "a" are different terms, as the DISTINCT
+                # machinery already treats them. Deliberately no numeric
                 # value-dispatch ("1" and "01" are different terms even
-                # though = would compare them equal). Marker-less
-                # operands coalesce to null<=>null = true → unchanged.
+                # though = would compare them equal).
                 sa, sb = cols[0].cast("string"), cols[1].cast("string")
-                va, vb = _expr_var_name(args[0]), _expr_var_name(args[1])
                 same = (
                     (sa == sb)
-                    & _meta_col(df, va, "dt").eqNullSafe(
-                        _meta_col(df, vb, "dt")
+                    & _expr_dt_col(df, args[0], sa).eqNullSafe(
+                        _expr_dt_col(df, args[1], sb)
                     )
-                    & _meta_col(df, va, "lang").eqNullSafe(
-                        _meta_col(df, vb, "lang")
+                    & _expr_lang_col(df, args[0], sa).eqNullSafe(
+                        _expr_lang_col(df, args[1], sb)
                     )
                     & _expr_kind_col(df, args[0], sa).eqNullSafe(
                         _expr_kind_col(df, args[1], sb)
@@ -2391,18 +2550,18 @@ class _Planner:
                 # IRI(str) mints an IRI from a lexical (its main SPARQL
                 # use: IRI(CONCAT(...))). 17.4.2.8 makes an invalid
                 # argument a type error → unbound; the validity gate is
-                # the engine's own kind-classification shape (shared
-                # _IRI_RE scheme sniff) plus a no-whitespace guard so a
-                # minted term is always one the accessors/serializers
-                # can tokenize (advisor finding: the old identity bound
-                # malformed 'IRIs' that isIRI() then disagreed with).
+                # the general ABSOLUTE-IRI shape (scheme + no forbidden
+                # chars), NOT the serving sniff's known-scheme list —
+                # the engine stores mailto:/did:/tag: IRIs with kind
+                # 'iri', so IRI(STR(?m)) must round-trip them (review
+                # finding; the original advisor fix over-narrowed).
+                # _CALL_RESULT_KIND pins the result kind to 'iri' so
+                # isIRI() agrees with the mint regardless of scheme.
                 # No BASE resolution: this front end has no BASE
                 # directive, so relative references are errors too.
-                from ..serving import _IRI_RE
-
                 s = cols[0].cast("string")
                 return F.when(
-                    s.rlike(_IRI_RE.pattern) & ~s.rlike(r"\s"), s
+                    s.rlike(_ABS_IRI_RE), s
                 ).otherwise(F.lit(None).cast("string"))
             if fn == "tz":
                 # timezone suffix of the dateTime LEXICAL form: "" when

@@ -267,3 +267,28 @@ def test_cli_export_turtle_and_ntriples_roundtrip(tmp_path, capsys, sf_dir):
     assert q2.where("graph IS NOT NULL").count() == 0
     # annotations exported as blank reifier subjects in N-Triples
     assert q2.where("subject_kind = 'blank'").count() > 0
+
+
+def test_cli_load_auto_sniffs_beyond_first_64_shards(tmp_path, capsys):
+    """Review finding: --fmt auto probed only the first 64 part files;
+    a turtle(-star) export whose `<< ... >>` annotation shards sort
+    after 64 plain-statement shards was misclassified as N-Quads and
+    the strict reader raised on the round-trip. The probe now
+    stride-samples the whole sorted listing including the last file."""
+    from etl_pipeline_rdf_star_spark import cli
+
+    d = tmp_path / "big_ttl_dir"
+    d.mkdir()
+    for i in range(79):
+        (d / f"part-{i:05d}").write_text(
+            f"<http://e/s{i}> <http://e/p> <http://e/o> .\n"
+        )
+    (d / "part-00079").write_text(
+        '<< <http://e/s0> <http://e/p> <http://e/o> >> '
+        '<http://e/conf> "0.9" .\n'
+    )
+    out = str(tmp_path / "loaded80")
+    cli.main(["load", "--infile", str(d), "--out", out])
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["fmt"] == "turtle"
+    assert doc["quads"] == 80

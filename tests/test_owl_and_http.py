@@ -672,3 +672,84 @@ def test_sparql_plan_cache_skips_parse_on_repeat(server, monkeypatch):
     assert int(d3["results"]["bindings"][0]["n"]["value"]) > int(
         d1["results"]["bindings"][0]["n"]["value"]
     )
+
+
+# -- round-5 review findings --------------------------------------------------
+
+
+def test_ontologies_filters_anonymous_classes(gm_server):
+    # an anonymous class declaration ([ a owl:Class ]) must not surface
+    # as a garbage index entry (review finding: bare bnode labels in
+    # subject position sniffed 'literal', so FILTER(!isBLANK(?cls))
+    # never filtered them)
+    import re as _re
+
+    p = os.path.join(gm_server.input_dir, "ontologies", "anon_class.ttl")
+    with open(p, "w") as f:
+        f.write(
+            "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+            "@prefix ex: <http://anon.example/> .\n"
+            "[ a owl:Class ] .\n"
+            "ex:Named a owl:Class .\n"
+        )
+    try:
+        code, _ = _post_empty(
+            gm_server, "/api/graphs/load?file=ontologies/anon_class.ttl"
+        )
+        assert code == 200
+        code, doc = _get(gm_server, "/ontologies")
+        assert code == 200
+        uris = {c["uri"] for c in doc["classes"]}
+        assert "http://anon.example/Named" in uris
+        # every listed class is an absolute IRI — no bnode labels
+        assert all(
+            _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", u) for u in uris
+        ), uris
+    finally:
+        os.unlink(p)
+
+
+def test_graph_load_does_not_break_inflight_readers(gm_server):
+    # MVCC store (review finding): a load used to rewrite the store
+    # directory in place, deleting the parquet files an in-flight
+    # query's plan had already listed — the scan then died with
+    # FileNotFoundException. A reader pinned to the old version must
+    # stay collectable across a concurrent load.
+    old = gm_server._loaded_quads()
+    assert old is not None
+    n_before = old.count()
+    p = os.path.join(gm_server.input_dir, "inflight_extra.ttl")
+    with open(p, "w") as f:
+        f.write("<http://inflight.example/s> <http://inflight.example/p> "
+                "<http://inflight.example/o> .\n")
+    try:
+        code, _ = _post_empty(
+            gm_server, "/api/graphs/load?file=inflight_extra.ttl"
+        )
+        assert code == 200
+        # the OLD DataFrame still reads its full snapshot
+        assert old.count() == n_before
+        # and the new version serves the union
+        assert gm_server._loaded_quads().count() == n_before + 1
+    finally:
+        os.unlink(p)
+
+
+def test_graph_load_symlink_escape_rejected(gm_server, tmp_path):
+    # realpath traversal guard (review finding): a symlink planted
+    # inside input_dir must not load an out-of-tree file
+    secret = tmp_path / "secret.ttl"
+    secret.write_text(
+        "<http://secret.example/s> <http://secret.example/p> "
+        "<http://secret.example/o> .\n"
+    )
+    link = os.path.join(gm_server.input_dir, "link.ttl")
+    os.symlink(str(secret), link)
+    try:
+        code, doc = _post_empty(
+            gm_server, "/api/graphs/load?file=link.ttl"
+        )
+        assert code == 400
+        assert "invalid" in doc["detail"].lower()
+    finally:
+        os.unlink(link)

@@ -2438,3 +2438,87 @@ def test_depth3_quoted_pattern_stays_loud(dataset):
             SELECT ?v WHERE {
                 << << << ex:x ex:y ex:z >> ex:b ex:c >> ex:d ex:e >>
                     ex:conf ?v }""")
+
+
+# -- round-5 review findings: constant term metadata, positional kinds -------
+
+
+def test_sameterm_constant_metadata(dataset):
+    # a TYPED/TAGGED constant contributes its parse-time metadata:
+    # STRDT("a", xsd:token) IS "a"^^xsd:token, while "chat" and
+    # "chat"@en are different terms even as two constants (review
+    # finding: constant operands contributed null metadata, so the
+    # first pair compared sameTerm-FALSE and the second TRUE)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?typed ?tagged WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(STRDT("a", <http://www.w3.org/2001/XMLSchema#token>) AS ?a)
+            BIND(IF(sameTerm(
+                ?a, "a"^^<http://www.w3.org/2001/XMLSchema#token>
+            ), "y", "n") AS ?typed)
+            BIND(IF(sameTerm("chat", "chat"@en), "y", "n") AS ?tagged)
+        }"""), "typed", "tagged")
+    assert rows_ == [("y", "n")]
+
+
+def test_sameterm_numeric_constant_vs_stored_typed(meta_dataset):
+    # 3.14 in query syntax IS "3.14"^^xsd:decimal (19.2) — the same
+    # term as a stored xsd:decimal object with that lexical; a plain
+    # literal normalizes to xsd:string on both sides
+    rows_ = rows(sparql_df(meta_dataset, """
+        PREFIX ex: <http://example.org/>
+        SELECT ?num ?plain WHERE {
+            ex:d1 ex:val ?v . ex:d1 ex:name ?n .
+            BIND(IF(sameTerm(?v, 3.14), "y", "n") AS ?num)
+            BIND(IF(sameTerm(?n, "plain"), "y", "n") AS ?plain)
+        }"""), "num", "plain")
+    assert rows_ == [("y", "y")]
+
+
+def test_subject_var_positional_kind(spark):
+    # stored bnode labels are BARE (no '_:' prefix) and subjects may be
+    # non-sniff-scheme IRIs — positional inference must classify
+    # subject-position vars without the lexical sniff (review finding:
+    # 'genid1' sniffed 'literal', so isBLANK was false and TRIPLE()
+    # refused a valid bnode subject)
+    ds = SparqlDataset(triples=spark.createDataFrame(
+        [
+            ("genid1", EX + "p", EX + "o", None),
+            ("mailto:a@b.example", EX + "q", EX + "o", None),
+        ],
+        "subject string, predicate string, object string, graph string",
+    ))
+    rows_ = rows(sparql_df(ds, """
+        PREFIX ex: <http://example.org/>
+        SELECT ?blank ?t WHERE {
+            ?s ex:p ex:o .
+            BIND(isBLANK(?s) AS ?blank)
+            BIND(TRIPLE(?s, ex:p, ex:o) AS ?t)
+        }"""), "blank", "t")
+    assert rows_ == [
+        (True, f"<< genid1 {EX}p {EX}o >>")
+    ]
+    rows_ = rows(sparql_df(ds, """
+        PREFIX ex: <http://example.org/>
+        SELECT ?mb WHERE {
+            ?s ex:q ex:o .
+            BIND(IF(sameTerm(?s, <mailto:a@b.example>), "y", "n") AS ?mb)
+        }"""), "mb")
+    assert rows_ == [("y",)]
+
+
+def test_iri_mints_any_absolute_scheme(dataset):
+    # IRI() validity is the general absolute-IRI shape, not the serving
+    # sniff's known-scheme list (review finding: IRI("mailto:...") was
+    # unbound though the engine stores mailto: terms with kind 'iri');
+    # the minted kind rides along so isIRI() agrees, both through a
+    # BIND var and nested directly
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?u ?is ?nested ?bad WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(IRI("mailto:alice@example.org") AS ?u)
+            BIND(isIRI(?u) AS ?is)
+            BIND(isIRI(IRI("did:plc:abc123")) AS ?nested)
+            BIND(IRI("not a uri") AS ?bad)
+        }"""), "u", "is", "nested", "bad")
+    assert rows_ == [("mailto:alice@example.org", True, True, None)]
