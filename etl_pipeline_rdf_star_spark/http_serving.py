@@ -127,14 +127,28 @@ class QueryServer:
         self._plan_cache: OrderedDict = OrderedDict()
         self._plan_cache_size = 128
         # the store is MVCC-versioned (see _append_graph_store): resume
-        # from the latest v* directory when handed a pre-existing store
+        # from the latest v* directory when handed a pre-existing store;
+        # a store written by the old in-place layout (graph=... dirs at
+        # the root) migrates one-time into v000001 — silently serving
+        # nothing from handed-in data would be data loss (review
+        # finding)
         self._graph_epoch = 0
         if graph_store and os.path.isdir(graph_store):
+            entries = os.listdir(graph_store)
             vers = [
                 int(n[1:])
-                for n in os.listdir(graph_store)
+                for n in entries
                 if n.startswith("v") and n[1:].isdigit()
             ]
+            if not vers and any(n.startswith("graph=") for n in entries):
+                v1 = os.path.join(graph_store, "v000001")
+                os.makedirs(v1, exist_ok=True)
+                for n in entries:
+                    os.rename(
+                        os.path.join(graph_store, n),
+                        os.path.join(v1, n),
+                    )
+                vers = [1]
             if vers:
                 self._graph_epoch = max(vers)
         self.views: list[str] = []
@@ -481,13 +495,18 @@ class QueryServer:
         has been loaded. Reads parquet — never re-parses source RDF."""
         import os
 
-        if (
-            not self.graph_store
-            or self._graph_epoch == 0
-            or not os.path.isdir(self._graph_version_path())
+        if not self.graph_store or self._graph_epoch == 0:
+            return None
+        p = self._graph_version_path()
+        # a zero-quad load writes only _SUCCESS: reading such a version
+        # raises 'unable to infer schema' and would wedge every later
+        # request AND the next load's carry-forward read (review
+        # finding) — treat it as an empty store
+        if not os.path.isdir(p) or not any(
+            not n.startswith((".", "_")) for n in os.listdir(p)
         ):
             return None
-        return self.spark.read.parquet(self._graph_version_path())
+        return self.spark.read.parquet(p)
 
     def _clamp_limit(self, limit: int | None) -> int:
         """limit=0 is a valid request for zero rows — `or`-defaulting
@@ -804,7 +823,12 @@ class QueryServer:
             ]
         )
 
-    def _append_graph_store(self, df, overwrite: bool = False) -> None:
+    def _append_graph_store(
+        self,
+        df,
+        overwrite: bool = False,
+        replaced: list | None = None,
+    ) -> None:
         """Persist parsed quads partitioned by graph, MVCC-style: every
         load writes a NEW version directory (v000001, v000002, ...) and
         readers resolve the current version at plan time — an in-place
@@ -827,25 +851,42 @@ class QueryServer:
         with self._graph_lock:
             if self.graph_store is None:
                 self.graph_store = tempfile.mkdtemp(prefix="rdfstar_graphs_")
-            if not overwrite and self._graph_epoch > 0:
-                cur = self.spark.read.parquet(self._graph_version_path())
-                # graphs in THIS load: bounded by the file's own graph
-                # labels (a handful), never the store size
-                replaced = [
-                    r[0] for r in df.select("graph").distinct().collect()
-                ]
-                vals = [g for g in replaced if g is not None]
-                drop = (
-                    F.col("graph").isin(vals) if vals else F.lit(False)
+            pinned = None
+            try:
+                cur = None if overwrite else self._loaded_quads()
+                if cur is not None:
+                    if replaced is None:
+                        # graphs in THIS load: bounded by the file's own
+                        # graph labels (a handful), never the store
+                        # size. Persist first — the distinct() and the
+                        # write below would otherwise each run the full
+                        # mapInPandas parse (review finding: every TriG
+                        # load parsed its source twice)
+                        pinned = df.persist()
+                        df = pinned
+                        replaced = [
+                            r[0]
+                            for r in df.select("graph")
+                            .distinct()
+                            .collect()
+                        ]
+                    vals = [g for g in replaced if g is not None]
+                    drop = (
+                        F.col("graph").isin(vals) if vals else F.lit(False)
+                    )
+                    if None in replaced:
+                        drop = drop | F.col("graph").isNull()
+                    keep = cur.where(~F.coalesce(drop, F.lit(False)))
+                    df = keep.unionByName(df, allowMissingColumns=True)
+                target = os.path.join(
+                    self.graph_store, f"v{self._graph_epoch + 1:06d}"
                 )
-                if None in replaced:
-                    drop = drop | F.col("graph").isNull()
-                keep = cur.where(~F.coalesce(drop, F.lit(False)))
-                df = keep.unionByName(df, allowMissingColumns=True)
-            target = os.path.join(
-                self.graph_store, f"v{self._graph_epoch + 1:06d}"
-            )
-            df.write.mode("overwrite").partitionBy("graph").parquet(target)
+                df.write.mode("overwrite").partitionBy("graph").parquet(
+                    target
+                )
+            finally:
+                if pinned is not None:
+                    pinned.unpersist()
             # publish only after the write landed; also invalidates
             # cached plans (see _compiled)
             self._graph_epoch += 1
@@ -862,11 +903,17 @@ class QueryServer:
 
         fp = self._resolve_input(rel)
         graph_uri = graph or self._graph_uri_from_path(fp)
+        # no replaced-graph hint: even a .ttl/.nt can carry graph labels
+        # beyond the path-derived one (the readers are TriG/N-Quads
+        # capable), and a wrong hint would DUPLICATE those graphs in
+        # the carried-forward union — the persist inside
+        # _append_graph_store already keeps the parse single-pass
         self._append_graph_store(self._read_rdf(fp, graph_uri))
+        loaded = self._loaded_quads()  # None: zero-quad store
         count = (
-            self._loaded_quads()
-            .where(F.col("graph") == graph_uri)
-            .count()
+            loaded.where(F.col("graph") == graph_uri).count()
+            if loaded is not None
+            else 0
         )
         return {
             "message": f"Loaded {rel} into <{graph_uri}>",
@@ -898,12 +945,14 @@ class QueryServer:
         for f in frames[1:]:
             df = df.unionByName(f)
         self._append_graph_store(df, overwrite=True)
-        loaded = self._loaded_quads()
-        total = loaded.count()
+        loaded = self._loaded_quads()  # None: every file parsed to 0 quads
+        total = loaded.count() if loaded is not None else 0
         n_graphs = (
             loaded.where(F.col("graph").isNotNull())
             .agg(F.count_distinct("graph"))
             .collect()[0][0]
+            if loaded is not None
+            else 0
         )
         return {
             "message": "Reloaded all files",

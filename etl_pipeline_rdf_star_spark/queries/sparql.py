@@ -1694,18 +1694,55 @@ class _Planner:
         column stays the lexical form (the engine's value model), and
         the declared datatype / language tag rides along as a metadata
         marker so DATATYPE()/LANG() on the BIND var round-trip."""
+        nn = F.col(var).isNotNull()
+        if expr.op == "term" and expr.args[0].kind != "var":
+            # BIND of a CONSTANT: the parse-time term metadata must ride
+            # along, or sameTerm/DATATYPE on the BIND var disagree with
+            # the same constant used inline (review finding:
+            # BIND("chat"@en AS ?x) FILTER(sameTerm(?x, "chat"@en))
+            # compared FALSE — the var leg normalized to plain
+            # xsd:string). The kind marker also stops the shape sniff
+            # from misfiling an IRI-shaped literal constant.
+            t = expr.args[0]
+            if t.kind in ("literal", "num"):
+                df = df.withColumn(
+                    _fresh(f"kind_{var}"), F.when(nn, F.lit("literal"))
+                )
+                dt = (
+                    _num_dt(str(t.value))
+                    if t.kind == "num"
+                    else t.datatype
+                    or (_RDF_LANGSTRING if t.lang else None)
+                )
+                if dt:
+                    df = df.withColumn(
+                        _fresh(f"dt_{var}"), F.when(nn, F.lit(dt))
+                    )
+                if t.kind == "literal" and t.lang:
+                    df = df.withColumn(
+                        _fresh(f"lang_{var}"), F.when(nn, F.lit(t.lang))
+                    )
+            elif t.kind in ("iri", "quoted"):
+                df = df.withColumn(
+                    _fresh(f"kind_{var}"),
+                    F.when(
+                        nn,
+                        F.lit("iri" if t.kind == "iri" else "triple"),
+                    ),
+                )
+            return df
         if expr.op != "call":
             return df
         fn, args = expr.args
-        if fn in ("iri", "uri", "triple"):
-            # a kind-minting builtin: ride the result kind along so
-            # isIRI/isTRIPLE/sameTerm on the BIND var classify it by
-            # what was minted, not by the scheme sniff (review finding:
-            # BIND(IRI("mailto:x") AS ?u) sniffed 'literal')
-            kind = "iri" if fn in ("iri", "uri") else "triple"
-            return df.withColumn(
-                _fresh(f"kind_{var}"),
-                F.when(F.col(var).isNotNull(), F.lit(kind)),
+        k = _CALL_RESULT_KIND.get(fn)
+        if k is not None:
+            # every kind-minting builtin rides its result kind along, so
+            # is*/sameTerm classify a BIND var like the direct nesting
+            # (review finding: only IRI/TRIPLE were pinned — isLITERAL(
+            # STR(?h)) and isLITERAL(?s) after BIND(STR(?h) AS ?s)
+            # disagreed when ?h was IRI-shaped)
+            df = df.withColumn(
+                _fresh(f"kind_{var}"), F.when(nn, F.lit(k))
             )
         if fn not in ("strdt", "strlang") or len(args) != 2:
             return df
@@ -2052,10 +2089,13 @@ class _Planner:
         # annotations relation): stored subject_kind wins when the
         # frame carries it; otherwise anything that isn't an absolute
         # IRI (or a serialized triple term, for q_o-sourced joins) must
-        # be a bnode label. Predicates and graph names are always IRIs.
+        # be a bnode label. Predicates are always IRIs; graph labels
+        # use the same iri-or-bnode inference as subjects — the N-Quads
+        # reader accepts '_:g' graph labels and stores them bare, so
+        # pinning 'iri' would misclassify them (review finding).
         for pos, always_iri in (
-            ("subject", False), ("q_s", False),
-            ("predicate", True), ("q_p", True), ("graph", True),
+            ("subject", False), ("q_s", False), ("graph", False),
+            ("predicate", True), ("q_p", True),
         ):
             t = cols.get(pos)
             if t is None or t.kind != "var" or t.value not in self.meta_vars:
@@ -2527,6 +2567,17 @@ class _Planner:
                 # value-dispatch ("1" and "01" are different terms even
                 # though = would compare them equal).
                 sa, sb = cols[0].cast("string"), cols[1].cast("string")
+                # a numeric CONSTANT compares by its ORIGINAL lexical
+                # form, not the compiled value literal — F.lit(int("01"))
+                # renders "1", which with equal dt legs made
+                # sameTerm(?v, 01) true against a stored "1"^^xsd:integer
+                # though "01" is a different term (review finding); 1e3
+                # likewise rendered "1000.0" and never matched itself
+                ta, tb = _expr_const_term(args[0]), _expr_const_term(args[1])
+                if ta is not None and ta.kind == "num":
+                    sa = F.lit(str(ta.value))
+                if tb is not None and tb.kind == "num":
+                    sb = F.lit(str(tb.value))
                 same = (
                     (sa == sb)
                     & _expr_dt_col(df, args[0], sa).eqNullSafe(
@@ -2559,9 +2610,14 @@ class _Planner:
                 # isIRI() agrees with the mint regardless of scheme.
                 # No BASE resolution: this front end has no BASE
                 # directive, so relative references are errors too.
+                # the explicit no-whitespace guard stays alongside the
+                # shape regex: Java's '$' matches BEFORE a final line
+                # terminator, so "mailto:x\n" would otherwise pass and
+                # mint a term the accessors cannot tokenize (review
+                # finding on the guard's removal)
                 s = cols[0].cast("string")
                 return F.when(
-                    s.rlike(_ABS_IRI_RE), s
+                    s.rlike(_ABS_IRI_RE) & ~s.rlike(r"\s"), s
                 ).otherwise(F.lit(None).cast("string"))
             if fn == "tz":
                 # timezone suffix of the dateTime LEXICAL form: "" when
@@ -2644,29 +2700,20 @@ class _Planner:
                 # metadata the value-shape fallback applies: IRIs/bnodes
                 # error→unbound, tagged literals rdf:langString, all
                 # other literals xsd:string / "".
-                var = _expr_var_name(args[0])
+                # ONE notion of effective term metadata across the
+                # engine: the same _expr_dt_col/_expr_lang_col sameTerm
+                # and DISTINCT identity use (review finding:
+                # DATATYPE("chat"@en) answered xsd:string while
+                # sameTerm knew it was rdf:langString). The helpers
+                # already encode the precedence (constant parse-time
+                # metadata > STRDT/STRLANG construction > stored
+                # markers > xsd:string) and answer null — error →
+                # unbound — for non-literals and null inputs.
                 s = cols[0].cast("string")
-                langv, dtv = _meta_col(df, var, "lang"), _meta_col(
-                    df, var, "dt"
-                )
-                # shared classification (kind marker > stored
-                # datatype/lang > triple-term/bnode/IRI shape >
-                # literal); LANG/DATATYPE are defined on literals only —
-                # everything else (incl. a null input) → unbound
-                non_literal = s.isNull() | (
-                    _term_kind_col(df, var, s) != "literal"
-                )
                 unbound = F.lit(None).cast("string")
-                if fn == "lang":
-                    return F.when(non_literal, unbound).otherwise(
-                        F.coalesce(langv, F.lit(""))
-                    )
-                return F.when(non_literal, unbound).otherwise(
-                    F.coalesce(
-                        dtv,
-                        F.when(langv.isNotNull(), F.lit(_RDF_LANGSTRING)),
-                        F.lit(_XSD_STRING),
-                    )
+                helper = _expr_lang_col if fn == "lang" else _expr_dt_col
+                return F.when(s.isNull(), unbound).otherwise(
+                    helper(df, args[0], s)
                 )
             if fn in ("strdt", "strlang"):
                 # the constructed literal's VALUE is its lexical form;

@@ -753,3 +753,56 @@ def test_graph_load_symlink_escape_rejected(gm_server, tmp_path):
         assert "invalid" in doc["detail"].lower()
     finally:
         os.unlink(link)
+
+
+def test_empty_first_load_does_not_wedge_store(gm_server, tmp_path_factory):
+    # second-pass review finding: a first load parsing to ZERO quads
+    # wrote a version dir holding only _SUCCESS; every later read then
+    # raised 'unable to infer schema' and the store was wedged until a
+    # full reload. The reader treats a data-less version as empty and
+    # the next load must still work.
+    from etl_pipeline_rdf_star_spark.http_serving import QueryServer
+
+    srv = QueryServer(
+        gm_server.spark,
+        gm_server.engine,
+        input_dir=gm_server.input_dir,
+        graph_store=str(tmp_path_factory.mktemp("empty_first")),
+    )
+    p = os.path.join(gm_server.input_dir, "only_comments.ttl")
+    with open(p, "w") as f:
+        f.write("# nothing here\n@prefix ex: <http://e/> .\n")
+    try:
+        doc = srv.load_graph_doc("only_comments.ttl")
+        assert doc["tripleCount"] == 0
+        assert srv._loaded_quads() is None  # empty, not broken
+        # a subsequent real load still works (the carry-forward read
+        # of the empty version must not crash)
+        doc = srv.load_graph_doc("individuals/movie_data.ttl")
+        assert doc["tripleCount"] == 279
+        assert srv._loaded_quads().count() == 279
+    finally:
+        os.unlink(p)
+
+
+def test_old_layout_graph_store_migrates(gm_server, tmp_path_factory):
+    # second-pass review finding: a pre-MVCC store (graph=... partition
+    # dirs at the root) handed to a new server silently served nothing;
+    # it must migrate into v000001 one-time
+    from etl_pipeline_rdf_star_spark.http_serving import QueryServer
+
+    root = str(tmp_path_factory.mktemp("old_layout"))
+    spark = gm_server.spark
+    spark.createDataFrame(
+        [("http://o/s", "http://o/p", "http://o/o", "http://o/g")],
+        "subject string, predicate string, object string, graph string",
+    ).write.mode("overwrite").partitionBy("graph").parquet(root)
+    srv = QueryServer(
+        spark,
+        gm_server.engine,
+        input_dir=gm_server.input_dir,
+        graph_store=root,
+    )
+    assert srv._graph_epoch == 1
+    assert srv._loaded_quads().count() == 1
+    assert os.path.isdir(os.path.join(root, "v000001"))

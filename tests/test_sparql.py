@@ -2522,3 +2522,104 @@ def test_iri_mints_any_absolute_scheme(dataset):
             BIND(IRI("not a uri") AS ?bad)
         }"""), "u", "is", "nested", "bad")
     assert rows_ == [("mailto:alice@example.org", True, True, None)]
+
+
+def test_sameterm_bind_of_constant_round_trips(dataset):
+    # a BIND of a typed/tagged CONSTANT carries its parse-time metadata
+    # (second-pass review finding: the first fix covered inline
+    # constants but a BIND var normalized to plain xsd:string, so
+    # sameTerm(?x, "chat"@en) after BIND("chat"@en AS ?x) was FALSE)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?tag ?typed ?plain WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND("chat"@en AS ?x)
+            BIND(IF(sameTerm(?x, "chat"@en), "y", "n") AS ?tag)
+            BIND("a"^^<http://www.w3.org/2001/XMLSchema#token> AS ?y)
+            BIND(IF(sameTerm(
+                ?y, "a"^^<http://www.w3.org/2001/XMLSchema#token>
+            ), "y", "n") AS ?typed)
+            BIND(IF(sameTerm(?y, "a"), "y", "n") AS ?plain)
+        }"""), "tag", "typed", "plain")
+    assert rows_ == [("y", "y", "n")]
+
+
+def test_sameterm_numeric_keeps_original_lexical(dataset):
+    # term identity is LEXICAL: 01 and 1 are different xsd:integer
+    # terms (second-pass review finding: the compiled F.lit(1) rendered
+    # both as "1", comparing them sameTerm-true); 1e3 must match itself
+    # (its compiled float rendered "1000.0" and never matched)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?pad ?sci WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(IF(sameTerm(01, 1), "y", "n") AS ?pad)
+            BIND(IF(sameTerm(1e3, 1e3), "y", "n") AS ?sci)
+        }"""), "pad", "sci")
+    assert rows_ == [("n", "y")]
+
+
+def test_datatype_lang_of_constants(dataset):
+    # DATATYPE/LANG answer from the same effective-metadata helpers as
+    # sameTerm (second-pass review finding: DATATYPE("chat"@en) said
+    # xsd:string while sameTerm knew rdf:langString)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?dt ?lg ?ndt ?pdt WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(DATATYPE("chat"@en) AS ?dt)
+            BIND(LANG("chat"@en) AS ?lg)
+            BIND(DATATYPE(5) AS ?ndt)
+            BIND(DATATYPE("x") AS ?pdt)
+        }"""), "dt", "lg", "ndt", "pdt")
+    assert rows_ == [(
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+        "en",
+        "http://www.w3.org/2001/XMLSchema#integer",
+        "http://www.w3.org/2001/XMLSchema#string",
+    )]
+
+
+def test_iri_rejects_trailing_newline(spark):
+    # Java's '$' matches before a final line terminator, so the shape
+    # regex alone passes "mailto:x\n" — the explicit whitespace guard
+    # must reject it (second-pass review finding on the guard's removal)
+    ds = SparqlDataset(triples=spark.createDataFrame(
+        [("http://e/s", "http://e/p", "mailto:x\n", None)],
+        "subject string, predicate string, object string, graph string",
+    ))
+    rows_ = rows(sparql_df(ds, """
+        SELECT ?u WHERE {
+            ?s <http://e/p> ?o . BIND(IRI(?o) AS ?u)
+        }"""), "u")
+    assert rows_ == [(None,)]
+
+
+def test_isliteral_consistent_through_bind_str(meta_dataset):
+    # isLITERAL agrees between a direct STR(...) nesting and the same
+    # expression routed through a BIND var, even for an IRI-shaped
+    # lexical (second-pass review finding: only IRI/TRIPLE pinned kinds
+    # through BIND)
+    rows_ = rows(sparql_df(meta_dataset, """
+        PREFIX ex: <http://example.org/>
+        SELECT ?lit ?lit2 WHERE {
+            ex:d1 ex:link ?l .
+            BIND(STR(?l) AS ?s)
+            BIND(isLITERAL(?s) AS ?lit)
+            BIND(isLITERAL(STR(?l)) AS ?lit2)
+        }"""), "lit", "lit2")
+    assert rows_ == [(True, True)]
+
+
+def test_blank_graph_label_positional_kind(spark):
+    # the N-Quads reader accepts '_:g' graph labels stored bare —
+    # GRAPH ?g must not pin kind 'iri' (second-pass review finding)
+    ds = SparqlDataset(triples=spark.createDataFrame(
+        [
+            ("http://e/s", "http://e/p", "http://e/o", "gblank1"),
+            ("http://e/s", "http://e/p", "http://e/o2", "http://e/g"),
+        ],
+        "subject string, predicate string, object string, graph string",
+    ))
+    rows_ = rows(sparql_df(ds, """
+        SELECT ?g ?b WHERE {
+            GRAPH ?g { ?s ?p ?o } BIND(isBLANK(?g) AS ?b)
+        } ORDER BY ?g"""), "g", "b")
+    assert rows_ == [("gblank1", True), ("http://e/g", False)]
