@@ -135,20 +135,31 @@ class QueryServer:
         self._graph_epoch = 0
         if graph_store and os.path.isdir(graph_store):
             entries = os.listdir(graph_store)
+            if any(n.startswith("graph=") for n in entries):
+                # migration target is ALWAYS v000001 (the old layout
+                # predates versioning), and stray graph= entries are
+                # re-migrated even when v000001 already exists — a
+                # crash mid-loop must not strand the remainder at the
+                # root forever (review finding: the not-vers guard made
+                # a partial migration permanent silent data loss)
+                v1 = os.path.join(graph_store, "v000001")
+                os.makedirs(v1, exist_ok=True)
+                for n in entries:
+                    if not (n.startswith("graph=") or n == "_SUCCESS"):
+                        continue
+                    try:
+                        os.rename(
+                            os.path.join(graph_store, n),
+                            os.path.join(v1, n),
+                        )
+                    except FileNotFoundError:
+                        pass  # a concurrent server moved it first
+                entries = os.listdir(graph_store)
             vers = [
                 int(n[1:])
                 for n in entries
                 if n.startswith("v") and n[1:].isdigit()
             ]
-            if not vers and any(n.startswith("graph=") for n in entries):
-                v1 = os.path.join(graph_store, "v000001")
-                os.makedirs(v1, exist_ok=True)
-                for n in entries:
-                    os.rename(
-                        os.path.join(graph_store, n),
-                        os.path.join(v1, n),
-                    )
-                vers = [1]
             if vers:
                 self._graph_epoch = max(vers)
         self.views: list[str] = []
@@ -823,12 +834,7 @@ class QueryServer:
             ]
         )
 
-    def _append_graph_store(
-        self,
-        df,
-        overwrite: bool = False,
-        replaced: list | None = None,
-    ) -> None:
+    def _append_graph_store(self, df, overwrite: bool = False) -> None:
         """Persist parsed quads partitioned by graph, MVCC-style: every
         load writes a NEW version directory (v000001, v000002, ...) and
         readers resolve the current version at plan time — an in-place
@@ -855,21 +861,18 @@ class QueryServer:
             try:
                 cur = None if overwrite else self._loaded_quads()
                 if cur is not None:
-                    if replaced is None:
-                        # graphs in THIS load: bounded by the file's own
-                        # graph labels (a handful), never the store
-                        # size. Persist first — the distinct() and the
-                        # write below would otherwise each run the full
-                        # mapInPandas parse (review finding: every TriG
-                        # load parsed its source twice)
-                        pinned = df.persist()
-                        df = pinned
-                        replaced = [
-                            r[0]
-                            for r in df.select("graph")
-                            .distinct()
-                            .collect()
-                        ]
+                    # graphs in THIS load: bounded by the file's own
+                    # graph labels (a handful), never the store size.
+                    # Persist first — the distinct() and the write below
+                    # would otherwise each run the full mapInPandas
+                    # parse (review finding: every load parsed its
+                    # source twice)
+                    pinned = df.persist()
+                    df = pinned
+                    replaced = [
+                        r[0]
+                        for r in df.select("graph").distinct().collect()
+                    ]
                     vals = [g for g in replaced if g is not None]
                     drop = (
                         F.col("graph").isin(vals) if vals else F.lit(False)

@@ -1326,11 +1326,7 @@ def _expr_kind_col(df, e: "Expr", c: Column) -> Column:
     unbound operand never reaches a kind comparison."""
     t = _expr_const_term(e)
     if t is not None:
-        if t.kind == "iri":
-            return F.lit("iri")
-        if t.kind == "quoted":
-            return F.lit("triple")
-        return F.lit("literal")
+        return F.lit(_const_term_meta(t)[0])
     if isinstance(e, Expr) and e.op == "call":
         k = _CALL_RESULT_KIND.get(e.args[0])
         if k is not None:
@@ -1346,6 +1342,23 @@ def _num_dt(lex: str) -> str:
     if "." in lex:
         return "http://www.w3.org/2001/XMLSchema#decimal"
     return "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _const_term_meta(t) -> tuple[str, str | None, str | None]:
+    """(kind, effective datatype, effective lang) of a CONSTANT term —
+    THE one encoding of parse-time term metadata (review finding: the
+    expression helpers and the BIND marker attachment each re-derived
+    it and could drift). kind is the classifier vocabulary (literal/
+    iri/triple); dt is null only for non-literals; lang is '' for
+    untagged literals, null for non-literals."""
+    if t.kind == "num":
+        return "literal", _num_dt(str(t.value)), ""
+    if t.kind == "literal":
+        dt = t.datatype or (_RDF_LANGSTRING if t.lang else _XSD_STRING)
+        return "literal", dt, t.lang or ""
+    if t.kind == "quoted":
+        return "triple", None, None
+    return "iri", None, None
 
 
 def _strdt_call(e: "Expr") -> "tuple[str, Term] | None":
@@ -1374,14 +1387,8 @@ def _expr_dt_col(df, e: "Expr", c: Column) -> Column:
     metadata, so "chat" and "chat"@en compared sameTerm-true)."""
     t = _expr_const_term(e)
     if t is not None:
-        if t.kind == "num":
-            return F.lit(_num_dt(str(t.value)))
-        if t.kind == "literal":
-            return F.lit(
-                t.datatype
-                or (_RDF_LANGSTRING if t.lang else _XSD_STRING)
-            )
-        return F.lit(None).cast("string")
+        dt = _const_term_meta(t)[1]
+        return F.lit(dt) if dt else F.lit(None).cast("string")
     sc = _strdt_call(e)
     if sc is not None:
         fn, arg = sc
@@ -1407,11 +1414,12 @@ def _expr_lang_col(df, e: "Expr", c: Column) -> Column:
     non-literals."""
     t = _expr_const_term(e)
     if t is not None:
-        if t.kind == "num":
-            return F.lit("")
-        if t.kind == "literal":
-            return F.lit(t.lang or "")
-        return F.lit(None).cast("string")
+        lang = _const_term_meta(t)[2]
+        return (
+            F.lit(lang)
+            if lang is not None
+            else F.lit(None).cast("string")
+        )
     sc = _strdt_call(e)
     if sc is not None:
         fn, arg = sc
@@ -1704,31 +1712,17 @@ class _Planner:
             # xsd:string). The kind marker also stops the shape sniff
             # from misfiling an IRI-shaped literal constant.
             t = expr.args[0]
-            if t.kind in ("literal", "num"):
+            kind, dt, lang = _const_term_meta(t)
+            df = df.withColumn(
+                _fresh(f"kind_{var}"), F.when(nn, F.lit(kind))
+            )
+            if dt:
                 df = df.withColumn(
-                    _fresh(f"kind_{var}"), F.when(nn, F.lit("literal"))
+                    _fresh(f"dt_{var}"), F.when(nn, F.lit(dt))
                 )
-                dt = (
-                    _num_dt(str(t.value))
-                    if t.kind == "num"
-                    else t.datatype
-                    or (_RDF_LANGSTRING if t.lang else None)
-                )
-                if dt:
-                    df = df.withColumn(
-                        _fresh(f"dt_{var}"), F.when(nn, F.lit(dt))
-                    )
-                if t.kind == "literal" and t.lang:
-                    df = df.withColumn(
-                        _fresh(f"lang_{var}"), F.when(nn, F.lit(t.lang))
-                    )
-            elif t.kind in ("iri", "quoted"):
+            if lang:
                 df = df.withColumn(
-                    _fresh(f"kind_{var}"),
-                    F.when(
-                        nn,
-                        F.lit("iri" if t.kind == "iri" else "triple"),
-                    ),
+                    _fresh(f"lang_{var}"), F.when(nn, F.lit(lang))
                 )
             return df
         if expr.op != "call":
@@ -2199,12 +2193,12 @@ class _Planner:
                     # leading BIND (Postman 2.3/6.4): a one-row anchor frame
                     # the following patterns equi-join (broadcast) against
                     df = self.ds.triples.sparkSession.range(1).select(
-                        self._expr_col(p.expr, None).cast("string").alias(p.var)
+                        self._bind_col(p.expr, None).cast("string").alias(p.var)
                     )
                     df = self._bind_constructed_meta(df, p.var, p.expr)
                 else:
                     expr, df, marks = self._lower_exists(p.expr, df, maybe)
-                    df = df.withColumn(p.var, self._expr_col(expr, df))
+                    df = df.withColumn(p.var, self._bind_col(expr, df))
                     if marks:
                         df = df.drop(*marks)
                     df = self._bind_constructed_meta(df, p.var, expr)
@@ -2385,6 +2379,18 @@ class _Planner:
         return walk(e), df, markers
 
     # -- expressions ------------------------------------------------------
+
+    def _bind_col(self, e: Expr, df: DataFrame | None) -> Column:
+        """The value column a BIND stores. A numeric CONSTANT keeps its
+        ORIGINAL lexical form — the numeric compile F.lit(int("01"))
+        renders "1", a DIFFERENT term, so sameTerm(?x, 01) after
+        BIND(01 AS ?x) compared false (review finding). The engine's
+        vars are lexical strings throughout; numeric use sites try_cast
+        exactly as they do for pattern-bound values."""
+        t = _expr_const_term(e)
+        if t is not None and t.kind == "num":
+            return F.lit(str(t.value))
+        return self._expr_col(e, df)
 
     def _expr_col(self, e: Expr, df: DataFrame) -> Column:
         if e.op == "term":

@@ -806,3 +806,39 @@ def test_old_layout_graph_store_migrates(gm_server, tmp_path_factory):
     assert srv._graph_epoch == 1
     assert srv._loaded_quads().count() == 1
     assert os.path.isdir(os.path.join(root, "v000001"))
+
+
+def test_partial_old_layout_migration_resumes(gm_server, tmp_path_factory):
+    # third-pass review finding: a crash mid-migration left stray
+    # graph= dirs at the root forever (the existing v000001 suppressed
+    # the migration branch) — stray old-layout entries must keep
+    # migrating into v000001
+    from etl_pipeline_rdf_star_spark.http_serving import QueryServer
+
+    root = str(tmp_path_factory.mktemp("partial_mig"))
+    spark = gm_server.spark
+    spark.createDataFrame(
+        [
+            ("http://o/s1", "http://o/p", "http://o/o", "http://o/gA"),
+            ("http://o/s2", "http://o/p", "http://o/o", "http://o/gB"),
+        ],
+        "subject string, predicate string, object string, graph string",
+    ).write.mode("overwrite").partitionBy("graph").parquet(root)
+    # simulate the crash: one partition already moved into v000001
+    v1 = os.path.join(root, "v000001")
+    os.makedirs(v1)
+    os.rename(
+        os.path.join(root, "graph=http%3A%2F%2Fo%2FgA"),
+        os.path.join(v1, "graph=http%3A%2F%2Fo%2FgA"),
+    )
+    srv = QueryServer(
+        spark,
+        gm_server.engine,
+        input_dir=gm_server.input_dir,
+        graph_store=root,
+    )
+    assert srv._graph_epoch == 1
+    assert srv._loaded_quads().count() == 2  # BOTH graphs serve
+    assert not any(
+        n.startswith("graph=") for n in os.listdir(root)
+    )

@@ -2623,3 +2623,20 @@ def test_blank_graph_label_positional_kind(spark):
             GRAPH ?g { ?s ?p ?o } BIND(isBLANK(?g) AS ?b)
         } ORDER BY ?g"""), "g", "b")
     assert rows_ == [("gblank1", True), ("http://e/g", False)]
+
+
+def test_sameterm_numeric_bind_keeps_lexical(dataset):
+    # a numeric-constant BIND stores the ORIGINAL lexical (third-pass
+    # review finding: F.lit(int("01")) rendered "1", so the BIND var
+    # disagreed with the same constant inline)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?pad ?sci ?val WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(01 AS ?x)
+            BIND(IF(sameTerm(?x, 01), "y", "n") AS ?pad)
+            BIND(1e3 AS ?z)
+            BIND(IF(sameTerm(?z, 1e3), "y", "n") AS ?sci)
+            BIND(IF(?x = 1, "y", "n") AS ?val)
+        }"""), "pad", "sci", "val")
+    # lexical identity for sameTerm; VALUE equality (=) still numeric
+    assert rows_ == [("y", "y", "y")]
