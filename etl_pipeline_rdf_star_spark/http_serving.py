@@ -134,30 +134,10 @@ class QueryServer:
         # finding)
         self._graph_epoch = 0
         if graph_store and os.path.isdir(graph_store):
-            entries = os.listdir(graph_store)
-            if any(n.startswith("graph=") for n in entries):
-                # migration target is ALWAYS v000001 (the old layout
-                # predates versioning), and stray graph= entries are
-                # re-migrated even when v000001 already exists — a
-                # crash mid-loop must not strand the remainder at the
-                # root forever (review finding: the not-vers guard made
-                # a partial migration permanent silent data loss)
-                v1 = os.path.join(graph_store, "v000001")
-                os.makedirs(v1, exist_ok=True)
-                for n in entries:
-                    if not (n.startswith("graph=") or n == "_SUCCESS"):
-                        continue
-                    try:
-                        os.rename(
-                            os.path.join(graph_store, n),
-                            os.path.join(v1, n),
-                        )
-                    except FileNotFoundError:
-                        pass  # a concurrent server moved it first
-                entries = os.listdir(graph_store)
+            self._migrate_old_layout(graph_store)
             vers = [
                 int(n[1:])
-                for n in entries
+                for n in os.listdir(graph_store)
                 if n.startswith("v") and n[1:].isdigit()
             ]
             if vers:
@@ -898,6 +878,60 @@ class QueryServer:
         import os
 
         return os.path.join(self.graph_store, f"v{self._graph_epoch:06d}")
+
+    @staticmethod
+    def _migrate_old_layout(root: str) -> None:
+        """One-time, RESUMABLE migration of a pre-MVCC store (graph=...
+        partition dirs at the root) into the versioned layout. Stray
+        root entries always publish a NEW version that hardlink-carries
+        the current max version forward — mutating an already-published
+        version in place would change what a running server's cached
+        plans read, and parking strays in a stale v000001 under a
+        higher max buries them unread (review findings). A stray graph
+        that also exists in the current version was replaced by a later
+        load: the stray is preserved under _superseded_*, never merged.
+        Races with a concurrent migrator tolerate already-moved
+        entries."""
+        strays = [n for n in os.listdir(root) if n.startswith("graph=")]
+        if not strays:
+            return
+        vers = [
+            int(n[1:])
+            for n in os.listdir(root)
+            if n.startswith("v") and n[1:].isdigit()
+        ]
+        base = max(vers) if vers else 0
+        new = os.path.join(root, f"v{base + 1:06d}")
+        os.makedirs(new, exist_ok=True)
+        if base:
+            # hardlink-copy the current version (parquet files are
+            # immutable, so links are safe and O(entries))
+            cur = os.path.join(root, f"v{base:06d}")
+            for dirpath, dirnames, filenames in os.walk(cur):
+                rel = os.path.relpath(dirpath, cur)
+                dst_dir = os.path.join(new, rel) if rel != "." else new
+                os.makedirs(dst_dir, exist_ok=True)
+                for fn in filenames:
+                    try:
+                        os.link(
+                            os.path.join(dirpath, fn),
+                            os.path.join(dst_dir, fn),
+                        )
+                    except FileExistsError:
+                        pass  # concurrent migrator linked it first
+        for n in strays + (["_SUCCESS"] if base == 0 else []):
+            src = os.path.join(root, n)
+            dst = os.path.join(new, n)
+            try:
+                if os.path.exists(dst):
+                    os.rename(
+                        src,
+                        os.path.join(root, f"_superseded_{base + 1:06d}_{n}"),
+                    )
+                else:
+                    os.rename(src, dst)
+            except FileNotFoundError:
+                pass  # a concurrent server moved it first
 
     def load_graph_doc(self, rel: str, graph: str | None = None) -> dict:
         """POST /api/graphs/load (rdf-workbench.py:656-687): parse one

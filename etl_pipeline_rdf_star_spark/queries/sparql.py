@@ -1716,7 +1716,15 @@ class _Planner:
             df = df.withColumn(
                 _fresh(f"kind_{var}"), F.when(nn, F.lit(kind))
             )
-            if dt:
+            # the STORED convention is dt-marker-null for plain
+            # literals (xsd:string is the normalized default, applied
+            # by _expr_dt_col) and for tagged literals (the lang marker
+            # implies rdf:langString) — attaching the implied marker
+            # here would make the subquery-DISTINCT key treat a BIND'd
+            # "chat" / "chat"@en and the identical stored term as
+            # different terms (review finding); RDF 1.1: plain ≡
+            # xsd:string
+            if dt and dt not in (_XSD_STRING, _RDF_LANGSTRING):
                 df = df.withColumn(
                     _fresh(f"dt_{var}"), F.when(nn, F.lit(dt))
                 )
@@ -1753,12 +1761,12 @@ class _Planner:
             F.col(var).isNotNull(), F.lit(str(t.args[0].value))
         )
         df = df.withColumn(_fresh(f"{tag}_{var}"), meta_col)
-        if fn == "strlang":
-            # a language-tagged literal's datatype is rdf:langString
-            df = df.withColumn(
-                _fresh(f"dt_{var}"),
-                F.when(F.col(var).isNotNull(), F.lit(_RDF_LANGSTRING)),
-            )
+        # NB deliberately NO rdf:langString dt marker for STRLANG: the
+        # STORED convention is dt-null + lang for tagged literals, and
+        # the raw dt marker is a subquery-DISTINCT key — an explicit
+        # langString marker made a STRLANG-constructed term distinct
+        # from the identical stored term (review finding). _expr_dt_col
+        # derives langString from the lang marker for DATATYPE/sameTerm.
         return df
 
     # one triple pattern → DF with one column per variable

@@ -837,8 +837,51 @@ def test_partial_old_layout_migration_resumes(gm_server, tmp_path_factory):
         input_dir=gm_server.input_dir,
         graph_store=root,
     )
-    assert srv._graph_epoch == 1
+    # the resumed migration publishes a NEW version carrying v000001
+    # forward — mutating the published v000001 in place would change
+    # what a concurrently running server's cached plans read
+    assert srv._graph_epoch == 2
     assert srv._loaded_quads().count() == 2  # BOTH graphs serve
     assert not any(
         n.startswith("graph=") for n in os.listdir(root)
     )
+
+
+def test_superseded_stray_not_merged(gm_server, tmp_path_factory):
+    # a stray old-layout graph that ALSO exists in the current version
+    # was replaced by a later load — the stray must be preserved out of
+    # the data path, never merged back (it would duplicate/revive stale
+    # rows)
+    from etl_pipeline_rdf_star_spark.http_serving import QueryServer
+
+    root = str(tmp_path_factory.mktemp("superseded"))
+    spark = gm_server.spark
+    # current version: graph G with ONE (new) row
+    spark.createDataFrame(
+        [("http://n/s", "http://n/p", "http://n/o", "http://o/G")],
+        "subject string, predicate string, object string, graph string",
+    ).write.mode("overwrite").partitionBy("graph").parquet(
+        os.path.join(root, "v000001")
+    )
+    # stray old-layout remnant of the SAME graph with stale rows
+    spark.createDataFrame(
+        [
+            ("http://old/s1", "http://old/p", "http://old/o", "http://o/G"),
+            ("http://old/s2", "http://old/p", "http://old/o", "http://o/G"),
+        ],
+        "subject string, predicate string, object string, graph string",
+    ).write.mode("overwrite").partitionBy("graph").parquet(root + "_tmp")
+    os.rename(
+        os.path.join(root + "_tmp", "graph=http%3A%2F%2Fo%2FG"),
+        os.path.join(root, "graph=http%3A%2F%2Fo%2FG"),
+    )
+    srv = QueryServer(
+        spark,
+        gm_server.engine,
+        input_dir=gm_server.input_dir,
+        graph_store=root,
+    )
+    assert srv._graph_epoch == 2
+    rows = srv._loaded_quads().collect()
+    assert [r["subject"] for r in rows] == ["http://n/s"]  # new row only
+    assert any(n.startswith("_superseded_") for n in os.listdir(root))

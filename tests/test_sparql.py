@@ -2640,3 +2640,26 @@ def test_sameterm_numeric_bind_keeps_lexical(dataset):
         }"""), "pad", "sci", "val")
     # lexical identity for sameTerm; VALUE equality (=) still numeric
     assert rows_ == [("y", "y", "y")]
+
+
+def test_distinct_unifies_bound_and_stored_terms(meta_dataset):
+    # BIND'd constants and STRLANG constructions follow the STORED
+    # marker convention (dt-null for plain and tagged literals), so
+    # DISTINCT unifies them with identical stored terms (fourth-pass
+    # review finding: an explicit xsd:string / rdf:langString marker
+    # made the same RDF term produce two rows)
+    rows_ = rows(sparql_df(meta_dataset, """
+        PREFIX ex: <http://example.org/>
+        SELECT DISTINCT ?x WHERE {
+            { ex:d1 ex:label ?x }
+            UNION { BIND(STRLANG("hello", "en") AS ?x) }
+            UNION { BIND("hello"@en AS ?x) }
+        }"""), "x")
+    assert rows_ == [("hello",)]
+    rows_ = rows(sparql_df(meta_dataset, """
+        PREFIX ex: <http://example.org/>
+        SELECT DISTINCT ?x WHERE {
+            { ex:d1 ex:name ?x }
+            UNION { BIND("plain" AS ?x) }
+        }"""), "x")
+    assert rows_ == [("plain",)]
