@@ -861,9 +861,18 @@ class QueryServer:
                         drop = drop | F.col("graph").isNull()
                     keep = cur.where(~F.coalesce(drop, F.lit(False)))
                     df = keep.unionByName(df, allowMissingColumns=True)
-                target = os.path.join(
-                    self.graph_store, f"v{self._graph_epoch + 1:06d}"
-                )
+                # first FREE version slot: mode('overwrite') would
+                # otherwise erase a version another process published
+                # (e.g. a startup migration) under the number this
+                # server was about to use (review finding). Multi-
+                # process writers remain unsupported — this only
+                # guarantees we never destroy foreign data.
+                nxt = self._graph_epoch + 1
+                while os.path.exists(
+                    os.path.join(self.graph_store, f"v{nxt:06d}")
+                ):
+                    nxt += 1
+                target = os.path.join(self.graph_store, f"v{nxt:06d}")
                 df.write.mode("overwrite").partitionBy("graph").parquet(
                     target
                 )
@@ -872,7 +881,7 @@ class QueryServer:
                     pinned.unpersist()
             # publish only after the write landed; also invalidates
             # cached plans (see _compiled)
-            self._graph_epoch += 1
+            self._graph_epoch = nxt
 
     def _graph_version_path(self) -> str:
         import os
@@ -880,18 +889,53 @@ class QueryServer:
         return os.path.join(self.graph_store, f"v{self._graph_epoch:06d}")
 
     @staticmethod
-    def _migrate_old_layout(root: str) -> None:
+    def _link_tree(src: str, dst: str) -> None:
+        """Hardlink-copy a directory tree (parquet files are immutable,
+        so links are safe and O(entries)); tolerates entries a
+        concurrent copier already created."""
+        for dirpath, _dirnames, filenames in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            dst_dir = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in filenames:
+                try:
+                    os.link(
+                        os.path.join(dirpath, fn),
+                        os.path.join(dst_dir, fn),
+                    )
+                except FileExistsError:
+                    pass
+
+    @classmethod
+    def _migrate_old_layout(cls, root: str) -> None:
         """One-time, RESUMABLE migration of a pre-MVCC store (graph=...
-        partition dirs at the root) into the versioned layout. Stray
-        root entries always publish a NEW version that hardlink-carries
-        the current max version forward — mutating an already-published
-        version in place would change what a running server's cached
-        plans read, and parking strays in a stale v000001 under a
-        higher max buries them unread (review findings). A stray graph
-        that also exists in the current version was replaced by a later
-        load: the stray is preserved under _superseded_*, never merged.
-        Races with a concurrent migrator tolerate already-moved
-        entries."""
+        partition dirs at the root) into the versioned layout.
+
+        Build-then-publish: the new version (hardlink carry-forward of
+        the current max + hardlink copies of the not-superseded strays)
+        is assembled in a private _migrate_* temp dir and published
+        with ONE atomic rename; the stray originals are removed only
+        AFTER publication. A crash at any point leaves either ignored
+        temp junk plus untouched strays (restart redoes the work) or a
+        published version plus leftover strays that the supersede check
+        then files under _superseded_* (their content is already in the
+        published version) — readers can never observe a half-built
+        version and no published version is ever mutated (review
+        findings: the in-place build could crash half-copied and be
+        adopted as a base, and it raced a running server's next load).
+        A stray graph that also exists in the current version was
+        replaced by a later load: preserved under _superseded_*, never
+        merged. Beyond startup migration, multi-process writers are
+        unsupported (one server owns a store; _graph_lock serializes
+        in-process writes — see also _append_graph_store's free-slot
+        scan)."""
+        import shutil
+        import tempfile
+
+        # best-effort cleanup of temp junk from a crashed migrator
+        for n in os.listdir(root):
+            if n.startswith("_migrate_"):
+                shutil.rmtree(os.path.join(root, n), ignore_errors=True)
         strays = [n for n in os.listdir(root) if n.startswith("graph=")]
         if not strays:
             return
@@ -901,37 +945,38 @@ class QueryServer:
             if n.startswith("v") and n[1:].isdigit()
         ]
         base = max(vers) if vers else 0
-        new = os.path.join(root, f"v{base + 1:06d}")
-        os.makedirs(new, exist_ok=True)
-        if base:
-            # hardlink-copy the current version (parquet files are
-            # immutable, so links are safe and O(entries))
-            cur = os.path.join(root, f"v{base:06d}")
-            for dirpath, dirnames, filenames in os.walk(cur):
-                rel = os.path.relpath(dirpath, cur)
-                dst_dir = os.path.join(new, rel) if rel != "." else new
-                os.makedirs(dst_dir, exist_ok=True)
-                for fn in filenames:
-                    try:
-                        os.link(
-                            os.path.join(dirpath, fn),
-                            os.path.join(dst_dir, fn),
-                        )
-                    except FileExistsError:
-                        pass  # concurrent migrator linked it first
-        for n in strays + (["_SUCCESS"] if base == 0 else []):
-            src = os.path.join(root, n)
-            dst = os.path.join(new, n)
-            try:
-                if os.path.exists(dst):
-                    os.rename(
-                        src,
-                        os.path.join(root, f"_superseded_{base + 1:06d}_{n}"),
-                    )
+        superseded: list[str] = []
+        kept: list[str] = []
+        tmp = tempfile.mkdtemp(prefix="_migrate_", dir=root)
+        try:
+            if base:
+                cls._link_tree(os.path.join(root, f"v{base:06d}"), tmp)
+            for n in strays:
+                if os.path.exists(os.path.join(tmp, n)):
+                    superseded.append(n)
                 else:
-                    os.rename(src, dst)
-            except FileNotFoundError:
-                pass  # a concurrent server moved it first
+                    cls._link_tree(
+                        os.path.join(root, n), os.path.join(tmp, n)
+                    )
+                    kept.append(n)
+            target = os.path.join(root, f"v{base + 1:06d}")
+            os.rename(tmp, target)  # atomic publish
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        # originals go away only now that the version is published;
+        # superseded strays (replaced by a later load) keep their bytes
+        # out of the data path
+        for n in superseded:
+            os.rename(
+                os.path.join(root, n),
+                os.path.join(root, f"_superseded_{base + 1:06d}_{n}"),
+            )
+        for n in kept:
+            shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+        success = os.path.join(root, "_SUCCESS")
+        if os.path.exists(success):
+            os.remove(success)  # old-layout Spark marker, now stale
 
     def load_graph_doc(self, rel: str, graph: str | None = None) -> dict:
         """POST /api/graphs/load (rdf-workbench.py:656-687): parse one

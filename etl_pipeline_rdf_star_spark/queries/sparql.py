@@ -1756,6 +1756,13 @@ class _Planner:
         if t.op != "term" or not _strdt_meta_ok(fn, t.args[0]):
             return df
         tag = "dt" if fn == "strdt" else "lang"
+        if fn == "strdt" and str(t.args[0].value) == _XSD_STRING:
+            # STRDT(x, xsd:string) constructs a plain literal under the
+            # stored convention (dt-marker-null; RDF 1.1: plain ≡
+            # xsd:string) — an explicit marker DISTINCT-split it from
+            # the identical stored/BIND'd term (review finding);
+            # _expr_dt_col's strdt branch still answers xsd:string
+            return df
         # null value → no term constructed → metadata must stay unbound
         meta_col = F.when(
             F.col(var).isNotNull(), F.lit(str(t.args[0].value))
@@ -3231,9 +3238,23 @@ def _select_frame(
                 pat = _meta_marker_re(var=v, tag=tag)
                 cs = [c for c in df.columns if pat.match(c)]
                 if len(cs) > 1 or (cs and q.distinct):
+                    col = F.coalesce(*(F.col(c) for c in cs))
+                    if tag == "dt" and q.distinct:
+                        # term-identity canonicalization IN THE KEY: an
+                        # explicitly stored xsd:string (what a mapping's
+                        # `datatype: xsd:string` writes verbatim) or
+                        # rdf:langString marker denotes the SAME term as
+                        # the null-marker convention (RDF 1.1: plain ≡
+                        # xsd:string, tagged ≡ rdf:langString), so
+                        # DISTINCT must not split on the spelling
+                        # (review finding). Applied only to the dedup
+                        # key — raw markers elsewhere keep serving
+                        # isNUMERIC's typed-literal check.
+                        col = F.when(
+                            ~col.isin(_XSD_STRING, _RDF_LANGSTRING), col
+                        )
                     df = df.withColumn(
-                        _fresh(f"{tag}_{v}"),
-                        F.coalesce(*(F.col(c) for c in cs)),
+                        _fresh(f"{tag}_{v}"), col
                     ).drop(*cs)
     if q.distinct:
         if kept_meta:

@@ -715,6 +715,12 @@ def test_graph_load_does_not_break_inflight_readers(gm_server):
     # query's plan had already listed — the scan then died with
     # FileNotFoundException. A reader pinned to the old version must
     # stay collectable across a concurrent load.
+    # self-sufficient: seed the store (don't rely on earlier module
+    # tests having loaded anything)
+    code, _ = _post_empty(
+        gm_server, "/api/graphs/load?file=individuals/movie_data.ttl"
+    )
+    assert code == 200
     old = gm_server._loaded_quads()
     assert old is not None
     n_before = old.count()
@@ -885,3 +891,45 @@ def test_superseded_stray_not_merged(gm_server, tmp_path_factory):
     rows = srv._loaded_quads().collect()
     assert [r["subject"] for r in rows] == ["http://n/s"]  # new row only
     assert any(n.startswith("_superseded_") for n in os.listdir(root))
+
+
+def test_migration_crash_between_publish_and_cleanup(
+    gm_server, tmp_path_factory
+):
+    # fifth-pass review finding: the migration must be build-then-
+    # publish (atomic rename), so the only other crash window is
+    # between publication and stray cleanup — a restart must then file
+    # the already-published strays as superseded, losing nothing and
+    # duplicating nothing
+    from etl_pipeline_rdf_star_spark.http_serving import QueryServer
+
+    root = str(tmp_path_factory.mktemp("crash_mig"))
+    spark = gm_server.spark
+    spark.createDataFrame(
+        [("http://a/s", "http://a/p", "http://a/o", "http://o/gA")],
+        "subject string, predicate string, object string, graph string",
+    ).write.partitionBy("graph").parquet(os.path.join(root, "v000001"))
+    spark.createDataFrame(
+        [
+            ("http://a/s", "http://a/p", "http://a/o", "http://o/gA"),
+            ("http://b/s", "http://b/p", "http://b/o", "http://o/gB"),
+        ],
+        "subject string, predicate string, object string, graph string",
+    ).write.partitionBy("graph").parquet(os.path.join(root, "v000002"))
+    # the crash left gB's original still at the root
+    spark.createDataFrame(
+        [("http://b/s", "http://b/p", "http://b/o", "http://o/gB")],
+        "subject string, predicate string, object string, graph string",
+    ).write.partitionBy("graph").parquet(root + "_t")
+    g = [n for n in os.listdir(root + "_t") if n.startswith("graph=")][0]
+    os.rename(os.path.join(root + "_t", g), os.path.join(root, g))
+    srv = QueryServer(
+        spark,
+        gm_server.engine,
+        input_dir=gm_server.input_dir,
+        graph_store=root,
+    )
+    rows = {r["subject"] for r in srv._loaded_quads().collect()}
+    assert rows == {"http://a/s", "http://b/s"}  # nothing lost
+    assert srv._loaded_quads().count() == 2  # nothing duplicated
+    assert not any(n.startswith("graph=") for n in os.listdir(root))

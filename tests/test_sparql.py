@@ -2647,19 +2647,61 @@ def test_distinct_unifies_bound_and_stored_terms(meta_dataset):
     # marker convention (dt-null for plain and tagged literals), so
     # DISTINCT unifies them with identical stored terms (fourth-pass
     # review finding: an explicit xsd:string / rdf:langString marker
-    # made the same RDF term produce two rows)
+    # made the same RDF term produce two rows). The DISTINCT sits in a
+    # SUBQUERY under an outer DATATYPE so the markers actually reach
+    # the dedup key (fifth-pass finding: the top-level form projected
+    # the markers away and passed against the broken code)
     rows_ = rows(sparql_df(meta_dataset, """
         PREFIX ex: <http://example.org/>
-        SELECT DISTINCT ?x WHERE {
-            { ex:d1 ex:label ?x }
-            UNION { BIND(STRLANG("hello", "en") AS ?x) }
-            UNION { BIND("hello"@en AS ?x) }
-        }"""), "x")
-    assert rows_ == [("hello",)]
+        SELECT ?x ?dt WHERE {
+            { SELECT DISTINCT ?x WHERE {
+                { ex:d1 ex:label ?x }
+                UNION { BIND(STRLANG("hello", "en") AS ?x) }
+                UNION { BIND("hello"@en AS ?x) }
+            } }
+            BIND(DATATYPE(?x) AS ?dt)
+        }"""), "x", "dt")
+    assert rows_ == [
+        ("hello", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")
+    ]
     rows_ = rows(sparql_df(meta_dataset, """
         PREFIX ex: <http://example.org/>
-        SELECT DISTINCT ?x WHERE {
-            { ex:d1 ex:name ?x }
-            UNION { BIND("plain" AS ?x) }
-        }"""), "x")
-    assert rows_ == [("plain",)]
+        SELECT ?x ?dt WHERE {
+            { SELECT DISTINCT ?x WHERE {
+                { ex:d1 ex:name ?x }
+                UNION { BIND("plain" AS ?x) }
+                UNION { BIND(STRDT("plain",
+                    <http://www.w3.org/2001/XMLSchema#string>) AS ?x) }
+            } }
+            BIND(DATATYPE(?x) AS ?dt)
+        }"""), "x", "dt")
+    assert rows_ == [("plain", "http://www.w3.org/2001/XMLSchema#string")]
+
+
+def test_distinct_canonicalizes_stored_explicit_string(spark):
+    # a mapping's `datatype: xsd:string` stores the marker VERBATIM —
+    # the DISTINCT key must treat it as the same term as a plain
+    # literal (RDF 1.1: plain ≡ xsd:string), while isNUMERIC keeps
+    # consulting the raw stored datatype (fifth-pass review finding +
+    # the earlier '"42"^^xsd:string is not numeric' guarantee)
+    ds = SparqlDataset(triples=spark.createDataFrame(
+        [("http://e/s", "http://e/p", "42",
+          None, "http://www.w3.org/2001/XMLSchema#string", None,
+          "literal")],
+        "subject string, predicate string, object string, graph string,"
+        " object_datatype string, object_lang string, object_kind string",
+    ))
+    rows_ = rows(sparql_df(ds, """
+        SELECT ?x ?dt WHERE {
+            { SELECT DISTINCT ?x WHERE {
+                { ?s <http://e/p> ?x }
+                UNION { BIND("42" AS ?x) }
+            } }
+            BIND(DATATYPE(?x) AS ?dt)
+        }"""), "x", "dt")
+    assert rows_ == [("42", "http://www.w3.org/2001/XMLSchema#string")]
+    rows_ = rows(sparql_df(ds, """
+        SELECT ?n WHERE {
+            ?s <http://e/p> ?x . BIND(isNUMERIC(?x) AS ?n)
+        }"""), "n")
+    assert rows_ == [(False,)]  # explicit xsd:string beats the sniff
