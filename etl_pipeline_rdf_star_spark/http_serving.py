@@ -864,9 +864,14 @@ class QueryServer:
                 # first FREE version slot: mode('overwrite') would
                 # otherwise erase a version another process published
                 # (e.g. a startup migration) under the number this
-                # server was about to use (review finding). Multi-
-                # process writers remain unsupported — this only
-                # guarantees we never destroy foreign data.
+                # server was about to use (review finding). Best-effort
+                # only — check-then-write, and the carry-forward read
+                # came from THIS server's epoch, so a foreign version
+                # landing mid-write can still be clobbered or shadowed.
+                # Multi-process WRITERS are out of scope by design (one
+                # server owns a store; _graph_lock serializes its
+                # writes) — this scan just narrows the blast radius of
+                # the one sanctioned overlap, startup migration.
                 nxt = self._graph_epoch + 1
                 while os.path.exists(
                     os.path.join(self.graph_store, f"v{nxt:06d}")
@@ -932,10 +937,12 @@ class QueryServer:
         import shutil
         import tempfile
 
-        # best-effort cleanup of temp junk from a crashed migrator
-        for n in os.listdir(root):
-            if n.startswith("_migrate_"):
-                shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+        # NB no sweep of leftover _migrate_* temp dirs: there is no
+        # portable way to tell a crashed migrator's junk from a LIVE
+        # concurrent migrator's work-in-progress, and rmtree'ing the
+        # latter would let it publish a half-built version (sixth-pass
+        # review finding). Readers ignore _-prefixed entries, so
+        # crashed junk only wastes disk.
         strays = [n for n in os.listdir(root) if n.startswith("graph=")]
         if not strays:
             return

@@ -1716,15 +1716,15 @@ class _Planner:
             df = df.withColumn(
                 _fresh(f"kind_{var}"), F.when(nn, F.lit(kind))
             )
-            # the STORED convention is dt-marker-null for plain
-            # literals (xsd:string is the normalized default, applied
-            # by _expr_dt_col) and for tagged literals (the lang marker
-            # implies rdf:langString) — attaching the implied marker
-            # here would make the subquery-DISTINCT key treat a BIND'd
-            # "chat" / "chat"@en and the identical stored term as
-            # different terms (review finding); RDF 1.1: plain ≡
-            # xsd:string
-            if dt and dt not in (_XSD_STRING, _RDF_LANGSTRING):
+            # the full effective datatype attaches (xsd:string for
+            # plain, rdf:langString for tagged): isNUMERIC consults the
+            # marker by var name and must see a definitive non-numeric
+            # datatype for typed-string constants; the DISTINCT dedup
+            # key canonicalizes through the EFFECTIVE datatype, so the
+            # explicit marker still unifies with the stored dt-null
+            # convention (sixth-pass review finding resolved the two
+            # consumers' conflict this way)
+            if dt:
                 df = df.withColumn(
                     _fresh(f"dt_{var}"), F.when(nn, F.lit(dt))
                 )
@@ -1756,24 +1756,27 @@ class _Planner:
         if t.op != "term" or not _strdt_meta_ok(fn, t.args[0]):
             return df
         tag = "dt" if fn == "strdt" else "lang"
-        if fn == "strdt" and str(t.args[0].value) == _XSD_STRING:
-            # STRDT(x, xsd:string) constructs a plain literal under the
-            # stored convention (dt-marker-null; RDF 1.1: plain ≡
-            # xsd:string) — an explicit marker DISTINCT-split it from
-            # the identical stored/BIND'd term (review finding);
-            # _expr_dt_col's strdt branch still answers xsd:string
-            return df
+        # the declared datatype attaches even when it is xsd:string:
+        # isNUMERIC consults the marker by var name, and a missing
+        # marker would send "42"^^xsd:string to the lexical sniff →
+        # true (sixth-pass review finding; term-identity unification
+        # happens in the EFFECTIVE-datatype DISTINCT key instead)
         # null value → no term constructed → metadata must stay unbound
         meta_col = F.when(
             F.col(var).isNotNull(), F.lit(str(t.args[0].value))
         )
         df = df.withColumn(_fresh(f"{tag}_{var}"), meta_col)
-        # NB deliberately NO rdf:langString dt marker for STRLANG: the
-        # STORED convention is dt-null + lang for tagged literals, and
-        # the raw dt marker is a subquery-DISTINCT key — an explicit
-        # langString marker made a STRLANG-constructed term distinct
-        # from the identical stored term (review finding). _expr_dt_col
-        # derives langString from the lang marker for DATATYPE/sameTerm.
+        if fn == "strlang":
+            # a language-tagged literal's datatype is rdf:langString —
+            # attached explicitly so isNUMERIC's marker lookup sees a
+            # definitive non-numeric datatype (sixth-pass review
+            # finding: dropping it sent the lexical to the sniff); the
+            # effective-datatype DISTINCT key unifies it with the
+            # stored dt-null + lang convention
+            df = df.withColumn(
+                _fresh(f"dt_{var}"),
+                F.when(F.col(var).isNotNull(), F.lit(_RDF_LANGSTRING)),
+            )
         return df
 
     # one triple pattern → DF with one column per variable
@@ -3239,19 +3242,32 @@ def _select_frame(
                 cs = [c for c in df.columns if pat.match(c)]
                 if len(cs) > 1 or (cs and q.distinct):
                     col = F.coalesce(*(F.col(c) for c in cs))
-                    if tag == "dt" and q.distinct:
-                        # term-identity canonicalization IN THE KEY: an
-                        # explicitly stored xsd:string (what a mapping's
-                        # `datatype: xsd:string` writes verbatim) or
-                        # rdf:langString marker denotes the SAME term as
-                        # the null-marker convention (RDF 1.1: plain ≡
-                        # xsd:string, tagged ≡ rdf:langString), so
-                        # DISTINCT must not split on the spelling
-                        # (review finding). Applied only to the dedup
-                        # key — raw markers elsewhere keep serving
-                        # isNUMERIC's typed-literal check.
+                    if tag == "dt" and q.distinct and v in df.columns:
+                        # term-identity canonicalization IN THE KEY via
+                        # the EFFECTIVE datatype (RDF 1.1: plain ≡
+                        # xsd:string, tagged ≡ rdf:langString): an
+                        # explicitly stored xsd:string (what a
+                        # mapping's `datatype: xsd:string` writes
+                        # verbatim) must not DISTINCT-split from the
+                        # null-marker spelling of the same term (review
+                        # finding). Canonicalizing to the NON-NULL form
+                        # (not to null) keeps the surviving marker
+                        # definitive for an outer isNUMERIC and for
+                        # has_lit_meta kind classification (sixth-pass
+                        # finding: nulling it sent '42'^^xsd:string to
+                        # the lexical sniff after a DISTINCT subquery).
+                        lang_m = _meta_col(df, v, "lang")
                         col = F.when(
-                            ~col.isin(_XSD_STRING, _RDF_LANGSTRING), col
+                            _term_kind_col(df, v, F.col(v).cast("string"))
+                            == "literal",
+                            F.coalesce(
+                                col,
+                                F.when(
+                                    lang_m.isNotNull(),
+                                    F.lit(_RDF_LANGSTRING),
+                                ),
+                                F.lit(_XSD_STRING),
+                            ),
                         )
                     df = df.withColumn(
                         _fresh(f"{tag}_{v}"), col

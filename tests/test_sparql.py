@@ -2705,3 +2705,52 @@ def test_distinct_canonicalizes_stored_explicit_string(spark):
             ?s <http://e/p> ?x . BIND(isNUMERIC(?x) AS ?n)
         }"""), "n")
     assert rows_ == [(False,)]  # explicit xsd:string beats the sniff
+
+
+def test_isnumeric_definitive_after_distinct_subquery(spark):
+    # the DISTINCT key canonicalizes to the NON-NULL effective datatype
+    # (sixth-pass review finding: canonicalizing to null sent
+    # '42'^^xsd:string to the lexical sniff after a DISTINCT subquery,
+    # and reclassified IRI-shaped typed literals as IRIs)
+    ds = SparqlDataset(triples=spark.createDataFrame(
+        [
+            ("http://e/s", "http://e/p", "42",
+             None, "http://www.w3.org/2001/XMLSchema#string", None,
+             "literal"),
+            ("http://e/s2", "http://e/q", "http://not-a-link",
+             None, "http://www.w3.org/2001/XMLSchema#string", None,
+             "literal"),
+        ],
+        "subject string, predicate string, object string, graph string,"
+        " object_datatype string, object_lang string, object_kind string",
+    ))
+    rows_ = rows(sparql_df(ds, """
+        SELECT ?n WHERE {
+            { SELECT DISTINCT ?x WHERE { ?s <http://e/p> ?x } }
+            BIND(isNUMERIC(?x) AS ?n)
+        }"""), "n")
+    assert rows_ == [(False,)]
+    rows_ = rows(sparql_df(ds, """
+        SELECT ?l WHERE {
+            { SELECT DISTINCT ?y WHERE { ?s <http://e/q> ?y } }
+            BIND(isLITERAL(?y) AS ?l)
+        }"""), "l")
+    assert rows_ == [(True,)]
+
+
+def test_isnumeric_constructed_string_literals(dataset):
+    # STRDT/STRLANG/typed-constant BINDs carry definitive datatype
+    # markers, so isNUMERIC answers from the datatype (17.4.2.4), not
+    # the lexical sniff (sixth-pass review finding: skipping the
+    # implied markers regressed all three to sniff-true)
+    rows_ = rows(sparql_df(dataset, PROLOGUE + """
+        SELECT ?a ?b ?c WHERE {
+            ex:dataset/DS1 dct:title ?t .
+            BIND(STRDT("42", <http://www.w3.org/2001/XMLSchema#string>) AS ?x)
+            BIND(isNUMERIC(?x) AS ?a)
+            BIND(STRLANG("42", "en") AS ?y)
+            BIND(isNUMERIC(?y) AS ?b)
+            BIND("42"^^<http://www.w3.org/2001/XMLSchema#string> AS ?z)
+            BIND(isNUMERIC(?z) AS ?c)
+        }"""), "a", "b", "c")
+    assert rows_ == [(False, False, False)]
